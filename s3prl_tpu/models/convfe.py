@@ -1,0 +1,81 @@
+"""Strided conv waveform feature extractor (wav2vec2/HuBERT front-end).
+
+Behavioral spec from the reference's ConvFeatureExtractionModel
+(s3prl/upstream/wav2vec2/wav2vec2_model.py:2857-2933): a stack of unpadded
+strided 1-D convs over raw 16 kHz waveform with
+- mode="default": per-channel GroupNorm (groups == channels) after the first
+  conv only (wav2vec2-Base / HuBERT-Base), or
+- mode="layer_norm": channel LayerNorm after every conv (the *-Large models),
+followed by exact (erf) GELU.
+
+TPU-first design notes: channels-last [B, T, C] layout throughout so XLA maps
+the convs onto the MXU as im2col matmuls; norms run in fp32 regardless of the
+compute dtype (matching the reference's Fp32GroupNorm/Fp32LayerNorm).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.masking import lengths_after_conv1d
+
+# (dim, kernel, stride) stack shared by wav2vec2/HuBERT: total stride 320,
+# receptive field 400 samples.
+DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
+    (512, 10, 5),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 2, 2),
+    (512, 2, 2),
+)
+
+
+def conv_output_lengths(wav_lens, conv_layers=DEFAULT_CONV_LAYERS):
+    lens = wav_lens
+    for _, k, s in conv_layers:
+        lens = lengths_after_conv1d(lens, k, s)
+    return lens
+
+
+def total_stride(conv_layers=DEFAULT_CONV_LAYERS) -> int:
+    out = 1
+    for _, _, s in conv_layers:
+        out *= s
+    return out
+
+
+class ConvFeatureExtractor(nn.Module):
+    conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
+    mode: str = "default"  # "default" | "layer_norm"
+    conv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wavs: jnp.ndarray) -> jnp.ndarray:
+        """wavs[B, T] -> features[B, T', C] (valid conv, total stride 320)."""
+        assert self.mode in ("default", "layer_norm")
+        x = wavs[..., None].astype(self.dtype)  # [B, T, 1]
+        for i, (dim, k, stride) in enumerate(self.conv_layers):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(stride,),
+                padding="VALID",
+                use_bias=self.conv_bias,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if self.mode == "layer_norm":
+                x = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
+            elif self.mode == "default" and i == 0:
+                # groups == channels: per-channel instance norm over time
+                x = nn.GroupNorm(
+                    num_groups=dim, dtype=jnp.float32, name="gn_0"
+                )(x).astype(self.dtype)
+            x = nn.gelu(x, approximate=False)
+        return x

@@ -1,0 +1,220 @@
+"""Transformer encoder with convolutional relative positional embedding.
+
+Behavioral spec from the reference's TransformerEncoder /
+TransformerSentenceEncoderLayer (s3prl/upstream/wav2vec2/wav2vec2_model.py:
+2937-3054, 3214-3321): grouped-conv positional embedding (kernel 128, 16
+groups, same-pad with even-kernel trim, GELU), pre-LN or post-LN residual
+blocks, per-layer hidden-state capture (the reference does this with forward
+hooks on every layer, interfaces.py:74-98 — here every layer input plus the
+final output is simply returned).
+
+TPU-first design notes:
+- the L encoder layers run under `nn.scan` with stacked parameters: one
+  compiled layer body regardless of depth (compile time O(1) in L), hidden
+  states collected as the scan's per-step output [L, B, T, C];
+- fp32 softmax inside attention, everything else in `dtype` (bf16 on TPU);
+- optional `nn.remat` on the scanned layer for training memory;
+- no data-dependent shapes: padding is handled by masks, layerdrop by a
+  per-layer keep gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import scaled_dot_attention
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """Grouped conv positional embedding (wav2vec2_model.py:2937 make_conv_pos).
+
+    The reference wraps the conv in torch weight_norm; that is a pure
+    reparametrization, so converted checkpoints fold it into the kernel and
+    from-scratch training uses a plain kernel.
+    """
+
+    features: int
+    kernel_size: int = 128
+    groups: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        out = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            padding=((pad, pad),),
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.kernel_size % 2 == 0:  # SamePad: drop the trailing frame
+            out = out[:, :-1, :]
+        return nn.gelu(out, approximate=False)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with fused QKV projection.
+
+    Equivalent to the reference's MultiheadAttention (wav2vec2_model.py:777)
+    in self-attention mode: q scaled by head_dim**-0.5, bias on all
+    projections, fp32 softmax.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, C]
+        key_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = PAD
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, T, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # one MXU matmul
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
+        k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        out = scaled_dot_attention(q, k, v, key_padding_mask, attn_bias)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-/post-LN transformer block (wav2vec2_model.py:3214)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    layer_norm_first: bool = False
+    dropout: float = 0.1
+    activation_dropout: float = 0.0
+    attention_dropout: float = 0.1
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    def _act(self, x):
+        if self.activation == "gelu":
+            return nn.gelu(x, approximate=False)
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "swish":
+            return nn.silu(x)
+        raise ValueError(self.activation)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn = lambda h: SelfAttention(
+            self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
+            name="self_attn",
+        )(h, key_padding_mask, attn_bias, deterministic)
+        ln_attn = nn.LayerNorm(dtype=jnp.float32, name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(dtype=jnp.float32, name="final_layer_norm")
+        drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+
+        def ffn(h):
+            h = self._act(nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h))
+            h = drop_act(h)
+            return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+
+        if self.layer_norm_first:
+            x = x + drop(attn(ln_attn(x).astype(self.dtype)))
+            x = x + drop(ffn(ln_final(x).astype(self.dtype)))
+        else:
+            x = ln_attn(x + drop(attn(x))).astype(self.dtype)
+            x = ln_final(x + drop(ffn(x))).astype(self.dtype)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Encoder stack returning all layer inputs + final output.
+
+    Output hidden_states has L+1 entries, matching the reference's hook
+    layout: [input to layer 0, ..., input to layer L-1, encoder output]
+    (reference: s3prl/upstream/hubert/expert.py:36-45).
+    """
+
+    embed_dim: int = 768
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    layer_norm_first: bool = False
+    dropout: float = 0.1
+    activation_dropout: float = 0.0
+    attention_dropout: float = 0.1
+    activation: str = "gelu"
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    layerdrop: float = 0.0
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, C]
+        key_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = PAD
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Returns (final[B,T,C], hidden_states[L+1,B,T,C])."""
+        if key_padding_mask is not None:
+            x = jnp.where(key_padding_mask[..., None], 0.0, x)
+        x = x + ConvPositionalEmbedding(
+            self.embed_dim, self.conv_pos, self.conv_pos_groups, self.dtype,
+            name="pos_conv",
+        )(x)
+        if not self.layer_norm_first:
+            x = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+
+        def body(layer, carry, _):
+            h = layer(carry, key_padding_mask, attn_bias, deterministic)
+            if self.layerdrop > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    layer.make_rng("layerdrop"), 1.0 - self.layerdrop
+                )
+                h = jnp.where(keep, h, carry)
+            return h, carry  # collect the layer *input*
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True, "layerdrop": True},
+            length=self.num_layers,
+        )
+        layer = layer_cls(
+            self.embed_dim, self.ffn_dim, self.num_heads, self.layer_norm_first,
+            self.dropout, self.activation_dropout, self.attention_dropout,
+            self.activation, self.dtype, name="layers",
+        )
+        x, layer_inputs = scan(layer, x, None)  # layer_inputs: [L, B, T, C]
+
+        if self.layer_norm_first:
+            x = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
+
+        hidden_states = jnp.concatenate([layer_inputs, x[None]], axis=0)
+        return x, hidden_states

@@ -1,0 +1,148 @@
+"""Named upstream registry — the hub.
+
+Replaces the reference's hubconf star-import registry (s3prl/hub.py:1-55 +
+per-model hubconf.py files): entries are plain factory functions registered
+under the names users know from s3prl (`fbank`, `hubert`, `hubert_base`,
+`hubert_large_ll60k`, `wav2vec2`, ...). Each factory returns a ready
+`Upstream` (pure apply fn + params + metadata).
+
+Checkpoints: a factory accepts `ckpt=` (path to a torch checkpoint converted
+via s3prl_tpu.upstream.convert, or an .npz of converted arrays). Without a
+ckpt, SSL models initialize randomly — useful for tests/benches and matching
+the reference's `randomize=True` escape hatch (nn/upstream.py:27-35).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .base import Upstream
+from ..models.baseline import BASELINE_CONFIGS, make_baseline_apply
+from ..models.wav2vec2 import BASE, LARGE, Wav2Vec2Config, Wav2Vec2Trunk
+from ..models.convfe import conv_output_lengths
+
+logger = logging.getLogger(__name__)
+
+_REGISTRY: Dict[str, Callable[..., Upstream]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def options() -> List[str]:
+    """All registered upstream names (analog of hub.options, s3prl/hub.py:40)."""
+    return sorted(_REGISTRY)
+
+
+def load(name: str, **kwargs) -> Upstream:
+    """Build a named upstream (analog of `getattr(hub, name)(**kwargs)`)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown upstream '{name}'; available: {options()}")
+    return _REGISTRY[name](**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# baseline front-ends (parameter-free)
+# ---------------------------------------------------------------------------
+
+_BASELINE_DIMS = {
+    # feature dim after deltas, from the reference yaml configs
+    "fbank": 80 * 3,
+    "fbank_no_cmvn": 80,
+    "mfcc": 13 * 3,
+    "spectrogram": 257,
+    "mel": 80,
+    "linear": 201,
+}
+
+
+def _make_baseline_entry(config_name: str):
+    def factory(**kwargs) -> Upstream:
+        apply_fn, stride = make_baseline_apply(config_name, **kwargs)
+        return Upstream(
+            name=config_name,
+            apply_fn=apply_fn,
+            params={},
+            num_layers=1,
+            hidden_size=_BASELINE_DIMS[config_name],
+            downsample_rate=stride,
+        )
+    return factory
+
+
+for _name in BASELINE_CONFIGS:
+    _REGISTRY[_name] = _make_baseline_entry(_name)
+
+
+# ---------------------------------------------------------------------------
+# wav2vec2 / HuBERT trunk models
+# ---------------------------------------------------------------------------
+
+
+def _trunk_upstream(
+    name: str,
+    cfg: Wav2Vec2Config,
+    ckpt: Optional[str] = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+    remat: bool = False,
+) -> Upstream:
+    model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat)
+
+    if ckpt is not None:
+        from .convert import load_params
+
+        params = load_params(ckpt)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = model.init(
+            jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True
+        )["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply(
+            {"params": params}, wavs, wav_lens,
+            deterministic=not train, rngs=rngs,
+        )
+
+    return Upstream(
+        name=name,
+        apply_fn=apply_fn,
+        params=params,
+        num_layers=cfg.encoder_layers + 1,
+        hidden_size=cfg.encoder_embed_dim,
+        downsample_rate=cfg.downsample_rate,
+    )
+
+
+@register("wav2vec2")
+@register("wav2vec2_base_960")
+def wav2vec2_base(**kwargs) -> Upstream:
+    return _trunk_upstream("wav2vec2", BASE, **kwargs)
+
+
+@register("wav2vec2_large_ll60k")
+@register("wav2vec2_large_lv60_cv_swbd_fsh")
+def wav2vec2_large(**kwargs) -> Upstream:
+    return _trunk_upstream("wav2vec2_large", LARGE, **kwargs)
+
+
+@register("hubert")
+@register("hubert_base")
+def hubert_base(**kwargs) -> Upstream:
+    return _trunk_upstream("hubert", BASE, **kwargs)
+
+
+@register("hubert_large_ll60k")
+def hubert_large(**kwargs) -> Upstream:
+    return _trunk_upstream("hubert_large", LARGE, **kwargs)

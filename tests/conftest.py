@@ -1,0 +1,39 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers a tunneled TPU PJRT backend ("axon")
+at interpreter start and overrides JAX_PLATFORMS, so the env var alone is not
+enough — we also force the platform through jax.config before any backend is
+used. XLA_FLAGS must still be set before jax import for the host-device count
+to take effect.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False, help="run slow tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
+@pytest.fixture(autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu"

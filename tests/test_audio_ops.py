@@ -1,0 +1,127 @@
+"""Front-end DSP tests.
+
+The golden implementation below is an independent, loop-based numpy rendering
+of the published Kaldi fbank algorithm (the same semantics the reference gets
+from torchaudio.compliance.kaldi). The JAX batched/static-shape version in
+s3prl_tpu.ops.audio must agree with it on unpadded utterances.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from s3prl_tpu.ops import audio
+from s3prl_tpu.util.pseudo_data import get_pseudo_wavs
+
+
+def golden_kaldi_fbank(wav, num_mel_bins=80, frame_length=400, frame_shift=160):
+    """Scalar-loop numpy kaldi fbank: povey window, preemph 0.97, DC removal."""
+    n_frames = 0 if len(wav) < frame_length else 1 + (len(wav) - frame_length) // frame_shift
+    padded = 512
+    window = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_length) / (frame_length - 1))) ** 0.85
+    banks = audio.kaldi_mel_banks(num_mel_bins, padded)
+    out = np.zeros((n_frames, num_mel_bins), np.float64)
+    for f in range(n_frames):
+        frame = wav[f * frame_shift : f * frame_shift + frame_length].astype(np.float64).copy()
+        frame -= frame.mean()
+        pre = np.empty_like(frame)
+        pre[0] = frame[0] - 0.97 * frame[0]
+        pre[1:] = frame[1:] - 0.97 * frame[:-1]
+        frame = pre * window
+        frame = np.pad(frame, (0, padded - frame_length))
+        spec = np.fft.rfft(frame)
+        power = np.abs(spec) ** 2
+        mel = banks @ power
+        out[f] = np.log(np.maximum(mel, np.finfo(np.float32).eps))
+    return out
+
+
+def test_fbank_matches_golden():
+    wav = get_pseudo_wavs(seed=7, n=1, secs=(1.3,))[0]
+    got, lens = audio.fbank(jnp.asarray(wav), num_mel_bins=80)
+    want = golden_kaldi_fbank(wav)
+    assert int(lens[0]) == want.shape[0]
+    got = np.asarray(got)[0, : want.shape[0]]
+    # Float32 FFT cancellation noise dominates near-floor mel bins (abs error
+    # ~ peak * eps * sqrt(n_fft) lands on bins 1e5x smaller than the peak), so
+    # assert quantiles of the log-domain error — the reference's own parity
+    # budget is atol=0.01 on hidden states (test_upstream.py:22-26).
+    err = np.abs(got - want)
+    assert np.median(err) < 1e-3, np.median(err)
+    assert np.percentile(err, 99) < 0.01, np.percentile(err, 99)
+    # bins carrying real energy (top half of the dynamic range) must be tight
+    strong = want > np.median(want)
+    np.testing.assert_allclose(got[strong], want[strong], atol=5e-3)
+
+
+def test_fbank_batched_matches_individual():
+    """Padded-batch extraction must equal per-utterance extraction on the
+    valid frames, and repeat the last valid frame on the padded tail."""
+    wavs = get_pseudo_wavs(seed=3, n=3, secs=(1.0, 0.73, 0.51))
+    lens = np.array([len(w) for w in wavs], np.int32)
+    T = lens.max()
+    batch = np.zeros((3, T), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+    feats, feat_lens = audio.fbank(jnp.asarray(batch), jnp.asarray(lens), num_mel_bins=40)
+    feats = np.asarray(feats)
+    for i, w in enumerate(wavs):
+        solo, solo_len = audio.fbank(jnp.asarray(w), num_mel_bins=40)
+        n = int(solo_len[0])
+        assert int(feat_lens[i]) == n
+        np.testing.assert_allclose(feats[i, :n], np.asarray(solo)[0, :n], atol=1e-4)
+        # padded tail repeats last valid frame
+        np.testing.assert_allclose(
+            feats[i, n:], np.repeat(feats[i, n - 1 : n], feats.shape[1] - n, 0), atol=0
+        )
+
+
+def test_mfcc_shapes_and_determinism():
+    wav = get_pseudo_wavs(seed=1, n=1, secs=(0.8,))[0]
+    a, la = audio.mfcc(jnp.asarray(wav), num_ceps=13, num_mel_bins=23)
+    b, lb = audio.mfcc(jnp.asarray(wav), num_ceps=13, num_mel_bins=23)
+    assert a.shape[-1] == 13
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_deltas_match_manual():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 20, 4).astype(np.float32)
+    got = np.asarray(audio.compute_deltas(jnp.asarray(x), win_length=5))
+    # manual replicate-padded regression delta
+    n = 2
+    denom = 2 * (1 + 4)
+    xp = np.concatenate([np.repeat(x[:, :1], n, 1), x, np.repeat(x[:, -1:], n, 1)], 1)
+    want = np.zeros_like(x)
+    for t in range(x.shape[1]):
+        acc = np.zeros_like(x[:, 0])
+        for i in range(1, n + 1):
+            acc += i * (xp[:, t + n + i] - xp[:, t + n - i])
+        want[:, t] = acc / denom
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cmvn_masked():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 30, 8).astype(np.float32)
+    lens = np.array([30, 17], np.int32)
+    # fill tail with junk; cmvn should only use valid frames
+    x[1, 17:] = 100.0
+    got = np.asarray(audio.cmvn(jnp.asarray(x), jnp.asarray(lens)))
+    v = x[1, :17]
+    mean, std = v.mean(0), v.std(0, ddof=1)
+    np.testing.assert_allclose(got[1, :17], (v - mean) / (1e-10 + std), atol=1e-4)
+
+
+def test_num_frames_rule():
+    assert int(audio.num_frames(jnp.asarray(400), 400, 160)) == 1
+    assert int(audio.num_frames(jnp.asarray(399), 400, 160)) == 0
+    assert int(audio.num_frames(jnp.asarray(16000), 400, 160)) == 98
+
+
+def test_log_mel_shapes():
+    wav = get_pseudo_wavs(seed=2, n=1, secs=(1.0,))[0]
+    mel, lens = audio.log_mel(jnp.asarray(wav), n_mels=80)
+    assert mel.shape[-1] == 80
+    assert mel.shape[1] == len(wav) // 160 + 1

@@ -1,0 +1,118 @@
+"""Model-stack tests: trunk shapes, hidden-state layout, padding invariance.
+
+Mirrors the reference's upstream test patterns (test/test_upstream.py:120-149):
+determinism across repeated eval forwards, stable layer counts, and
+mixed-length batches agreeing with solo forwards on valid frames.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3prl_tpu.models.convfe import ConvFeatureExtractor, conv_output_lengths
+from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+TINY = Wav2Vec2Config(
+    conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+    encoder_layers=2,
+    encoder_embed_dim=64,
+    encoder_ffn_embed_dim=128,
+    encoder_attention_heads=4,
+)
+
+TINY_PRELN = Wav2Vec2Config(
+    conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+    extractor_mode="layer_norm",
+    encoder_layers=2,
+    encoder_embed_dim=64,
+    encoder_ffn_embed_dim=128,
+    encoder_attention_heads=4,
+    layer_norm_first=True,
+    normalize=True,
+)
+
+
+def _init_and_run(cfg, wavs, lens, seed=0):
+    model = Wav2Vec2Trunk(cfg)
+    variables = model.init(
+        jax.random.key(seed), jnp.asarray(wavs), jnp.asarray(lens), deterministic=True
+    )
+    hs, feat_lens = model.apply(
+        variables, jnp.asarray(wavs), jnp.asarray(lens), deterministic=True
+    )
+    return np.asarray(hs), np.asarray(feat_lens)
+
+
+def test_conv_lengths_match_actual():
+    layers = ((64, 10, 5), (64, 3, 2), (64, 2, 2))
+    fe = ConvFeatureExtractor(layers)
+    wav = jnp.zeros((1, 3200))
+    out = fe.apply(fe.init(jax.random.key(0), wav), wav)
+    want = int(conv_output_lengths(jnp.asarray([3200]), layers)[0])
+    assert out.shape[1] == want
+
+
+@pytest.mark.parametrize("cfg", [TINY, TINY_PRELN], ids=["postln", "preln"])
+def test_trunk_hidden_state_layout(cfg):
+    rng = np.random.RandomState(0)
+    wavs = rng.randn(2, 3200).astype(np.float32)
+    lens = np.array([3200, 2400], np.int32)
+    hs, feat_lens = _init_and_run(cfg, wavs, lens)
+    assert hs.shape[0] == cfg.encoder_layers + 1  # layer inputs + final
+    assert hs.shape[-1] == cfg.encoder_embed_dim
+    assert feat_lens[0] > feat_lens[1]
+    # deterministic across calls
+    hs2, _ = _init_and_run(cfg, wavs, lens)
+    np.testing.assert_array_equal(hs, hs2)
+
+
+def test_padding_invariance_of_valid_frames():
+    """Extra padding must not change hidden states at valid positions.
+
+    Uses the layer_norm extractor mode, which (like the reference's Large
+    models) has no cross-time normalization, so outputs are exactly
+    padding-independent given masked attention.
+    """
+    rng = np.random.RandomState(1)
+    wav = rng.randn(2000).astype(np.float32)
+
+    model = Wav2Vec2Trunk(TINY_PRELN)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 3200)), jnp.asarray([3200]), deterministic=True
+    )
+
+    short = np.zeros((1, 2000), np.float32)
+    short[0] = wav
+    long = np.zeros((1, 3600), np.float32)
+    long[0, :2000] = wav
+
+    hs_s, len_s = model.apply(variables, jnp.asarray(short), jnp.asarray([2000]), deterministic=True)
+    hs_l, len_l = model.apply(variables, jnp.asarray(long), jnp.asarray([2000]), deterministic=True)
+    n = int(len_s[0])
+    assert int(len_l[0]) == n
+    np.testing.assert_allclose(
+        np.asarray(hs_s)[:, 0, :n], np.asarray(hs_l)[:, 0, :n], atol=2e-5
+    )
+
+
+def test_masking_path():
+    rng = np.random.RandomState(2)
+    wavs = rng.randn(2, 3200).astype(np.float32)
+    lens = np.array([3200, 3200], np.int32)
+    model = Wav2Vec2Trunk(TINY)
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(wavs), jnp.asarray(lens), deterministic=True
+    )
+    hs_plain, feat_lens = model.apply(
+        variables, jnp.asarray(wavs), jnp.asarray(lens), deterministic=True
+    )
+    T = hs_plain.shape[2]
+    mask = np.zeros((2, T), bool)
+    mask[:, : T // 2] = True
+    hs_masked, _ = model.apply(
+        variables, jnp.asarray(wavs), jnp.asarray(lens),
+        mask_indices=jnp.asarray(mask), deterministic=True,
+    )
+    assert not np.allclose(np.asarray(hs_plain)[-1], np.asarray(hs_masked)[-1])
