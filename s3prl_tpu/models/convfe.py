@@ -71,11 +71,11 @@ class ConvFeatureExtractor(nn.Module):
                 name=f"conv_{i}",
             )(x)
             if self.mode == "layer_norm":
-                x = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
             elif self.mode == "default" and i == 0:
                 # groups == channels: per-channel instance norm over time
                 x = nn.GroupNorm(
-                    num_groups=dim, dtype=jnp.float32, name="gn_0"
+                    num_groups=dim, epsilon=1e-5, dtype=jnp.float32, name="gn_0"
                 )(x).astype(self.dtype)
             x = nn.gelu(x, approximate=False)
         return x

@@ -126,8 +126,8 @@ class EncoderLayer(nn.Module):
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
             name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
-        ln_attn = nn.LayerNorm(dtype=jnp.float32, name="self_attn_layer_norm")
-        ln_final = nn.LayerNorm(dtype=jnp.float32, name="final_layer_norm")
+        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 
@@ -184,7 +184,7 @@ class TransformerEncoder(nn.Module):
             name="pos_conv",
         )(x)
         if not self.layer_norm_first:
-            x = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         layer_cls = EncoderLayer
@@ -214,7 +214,7 @@ class TransformerEncoder(nn.Module):
         x, layer_inputs = scan(layer, x, None)  # layer_inputs: [L, B, T, C]
 
         if self.layer_norm_first:
-            x = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
 
         hidden_states = jnp.concatenate([layer_inputs, x[None]], axis=0)
         return x, hidden_states

@@ -110,9 +110,17 @@ class Wav2Vec2Trunk(nn.Module):
             cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias, self.dtype,
             name="feature_extractor",
         )(wavs)
-        feat_lens = conv_output_lengths(wav_lens, cfg.conv_feature_layers)
+        # The reference derives the feature-level padding mask by folding the
+        # wav-level mask into blocks of r = T_wav // T_feat samples and
+        # marking a frame padded only when ALL its samples are padded
+        # (hubert_model.py:459-469 forward_padding_mask) — i.e.
+        # ceil(wav_len / r) valid frames, one more than strict conv
+        # arithmetic near the boundary. Replicated exactly for parity.
+        t_feat = features.shape[1]
+        r = max(wavs.shape[1] // max(t_feat, 1), 1)
+        feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
 
-        features = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(features)
+        features = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(features)
         features = features.astype(self.dtype)
         embed = cfg.conv_feature_layers[-1][0]
         if embed != cfg.encoder_embed_dim:

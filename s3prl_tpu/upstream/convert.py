@@ -1,0 +1,170 @@
+"""PyTorch checkpoint -> JAX parameter conversion for the wav2vec2/HuBERT trunk.
+
+The analog of the reference's fairseq-ckpt conversion layer
+(s3prl/upstream/utils.py:14-51 + per-model convert.py): s3prl publishes
+self-contained checkpoints `{"task_cfg", "model_cfg", "model_weight"}`
+(huggingface.co/s3prl/converted_ckpts); this module maps those torch
+state_dicts onto the flax param tree of
+:class:`s3prl_tpu.models.wav2vec2.Wav2Vec2Trunk`.
+
+Layout notes:
+- torch Conv1d weights [out, in/groups, k] -> flax [k, in/groups, out];
+- torch Linear [out, in] -> flax kernel [in, out];
+- the pos-conv's torch weight_norm (dim=2) is folded into a plain kernel
+  (W = g * v / ||v||_{dims 0,1}) — weight norm is a pure reparametrization;
+- per-layer transformer weights are stacked along a leading L axis to match
+  the `nn.scan`-stacked encoder;
+- q/k/v projections are concatenated into the fused qkv kernel.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ..models.wav2vec2 import Wav2Vec2Config
+
+logger = logging.getLogger(__name__)
+
+
+def _t(x) -> np.ndarray:  # torch tensor -> numpy
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _linear(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _norm(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """torch weight_norm(dim=2) on conv [out, in, k]: W = g * v / ||v||_{0,1}."""
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def config_from_model_cfg(model_cfg: Dict[str, Any], task_cfg: Dict[str, Any] = None) -> Wav2Vec2Config:
+    """Build our trunk config from an s3prl/fairseq model_cfg dict."""
+    conv = model_cfg.get("conv_feature_layers", None)
+    if isinstance(conv, str):
+        import ast
+
+        conv = tuple(tuple(c) for c in ast.literal_eval(conv))
+    elif conv is not None:
+        conv = tuple(tuple(c) for c in conv)
+    kwargs = dict(
+        extractor_mode=model_cfg.get("extractor_mode", "default"),
+        encoder_layers=model_cfg.get("encoder_layers", 12),
+        encoder_embed_dim=model_cfg.get("encoder_embed_dim", 768),
+        encoder_ffn_embed_dim=model_cfg.get("encoder_ffn_embed_dim", 3072),
+        encoder_attention_heads=model_cfg.get("encoder_attention_heads", 12),
+        activation_fn=model_cfg.get("activation_fn", "gelu"),
+        layer_norm_first=model_cfg.get("layer_norm_first", False),
+        conv_bias=model_cfg.get("conv_bias", False),
+        conv_pos=model_cfg.get("conv_pos", 128),
+        conv_pos_groups=model_cfg.get("conv_pos_groups", 16),
+        dropout=model_cfg.get("dropout", 0.1),
+        attention_dropout=model_cfg.get("attention_dropout", 0.1),
+        activation_dropout=model_cfg.get("activation_dropout", 0.0),
+        dropout_input=model_cfg.get("dropout_input", 0.1),
+        encoder_layerdrop=model_cfg.get("encoder_layerdrop", 0.0),
+        normalize=(task_cfg or {}).get("normalize", False),
+    )
+    if conv is not None:
+        kwargs["conv_feature_layers"] = conv
+    return Wav2Vec2Config(**kwargs)
+
+
+def trunk_params_from_torch(sd: Dict[str, Any], cfg: Wav2Vec2Config) -> Dict[str, Any]:
+    """Map a wav2vec2/HuBERT torch state_dict to the Wav2Vec2Trunk param tree."""
+    params: Dict[str, Any] = {}
+
+    # --- conv feature extractor ---
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        conv = {
+            "kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)
+        }
+        if cfg.conv_bias:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+    params["feature_extractor"] = fe
+
+    params["layer_norm"] = _norm(sd, "layer_norm")
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+    if "mask_emb" in sd:
+        params["mask_emb"] = _t(sd["mask_emb"])
+    else:
+        params["mask_emb"] = np.zeros((cfg.encoder_embed_dim,), np.float32)
+
+    # --- encoder ---
+    enc: Dict[str, Any] = {}
+    if "encoder.pos_conv.0.weight_g" in sd:
+        w = _fold_weight_norm(
+            _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
+        )
+    else:
+        w = _t(sd["encoder.pos_conv.0.weight"])
+    enc["pos_conv"] = {
+        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+    }
+    enc["layer_norm"] = _norm(sd, "encoder.layer_norm")
+
+    L = cfg.encoder_layers
+    per_layer = []
+    for i in range(L):
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        per_layer.append(
+            {
+                "self_attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+                },
+                "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": _linear(sd, f"{p}.fc1"),
+                "fc2": _linear(sd, f"{p}.fc2"),
+                "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+            }
+        )
+    # stack across layers (leading L axis) for the nn.scan encoder
+    import jax
+
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    params["encoder"] = enc
+    return params
+
+
+def load_checkpoint(path: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
+    """Load an s3prl converted checkpoint (or raw state_dict) -> (cfg, params)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_weight" in ckpt:
+        sd = ckpt["model_weight"]
+        cfg = config_from_model_cfg(ckpt.get("model_cfg", {}), ckpt.get("task_cfg", {}))
+    else:
+        sd = ckpt
+        cfg = Wav2Vec2Config()
+    return cfg, trunk_params_from_torch(sd, cfg)
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    return load_checkpoint(path)[1]
