@@ -68,37 +68,37 @@ def test_trunk_hidden_state_layout(cfg):
     np.testing.assert_array_equal(hs, hs2)
 
 
-def test_padding_invariance_of_valid_frames():
-    """Extra padding must not change hidden states at valid positions.
+def test_cross_utterance_isolation():
+    """Changing utterance B's content must not change utterance A's outputs.
 
-    Uses the layer_norm extractor mode, which (like the reference's Large
-    models) has no cross-time normalization, so outputs are exactly
-    padding-independent given masked attention.
+    The exact invariant behind masked attention / per-utterance norms. (Note
+    strict *padding* invariance does not hold for this architecture — the
+    reference behaves identically: the boundary frame whose receptive field
+    straddles real and padded samples stays a valid attention key and leaks
+    through the 128-wide pos conv; that is why the reference's own parity
+    budget is atol=0.01 with frame slack, test_upstream.py:22-26.)
     """
     rng = np.random.RandomState(1)
-    wav = rng.randn(2000).astype(np.float32)
+    wav_a = rng.randn(2000).astype(np.float32)
 
     model = Wav2Vec2Trunk(TINY_PRELN)
     variables = model.init(
-        jax.random.key(0), jnp.zeros((1, 3200)), jnp.asarray([3200]), deterministic=True
+        jax.random.key(0), jnp.zeros((2, 3600)), jnp.asarray([3600, 3600]), deterministic=True
     )
 
-    short = np.zeros((1, 2000), np.float32)
-    short[0] = wav
-    long = np.zeros((1, 3600), np.float32)
-    long[0, :2000] = wav
+    batch1 = np.zeros((2, 3600), np.float32)
+    batch1[0, :2000] = wav_a
+    batch1[1] = rng.randn(3600)
+    batch2 = batch1.copy()
+    batch2[1] = rng.randn(3600) * 3.0
 
-    hs_s, len_s = model.apply(variables, jnp.asarray(short), jnp.asarray([2000]), deterministic=True)
-    hs_l, len_l = model.apply(variables, jnp.asarray(long), jnp.asarray([2000]), deterministic=True)
-    # the block-folded mask rule (see wav2vec2.py) can differ by one frame
-    # between padded and unpadded runs — the reference behaves identically and
-    # trims to the min length (hubert/expert.py:46-50); frames up to the
-    # common valid length must match exactly
-    n = min(int(len_s[0]), int(len_l[0]))
-    assert abs(int(len_s[0]) - int(len_l[0])) <= 1
-    np.testing.assert_allclose(
-        np.asarray(hs_s)[:, 0, :n], np.asarray(hs_l)[:, 0, :n], atol=2e-5
-    )
+    lens = jnp.asarray([2000, 3600])
+    hs1, len1 = model.apply(variables, jnp.asarray(batch1), lens, deterministic=True)
+    hs2, len2 = model.apply(variables, jnp.asarray(batch2), lens, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))
+    # utterance A identical bit-for-bit; utterance B actually changed
+    np.testing.assert_array_equal(np.asarray(hs1)[:, 0], np.asarray(hs2)[:, 0])
+    assert not np.allclose(np.asarray(hs1)[:, 1], np.asarray(hs2)[:, 1])
 
 
 def test_masking_path():
