@@ -1,0 +1,75 @@
+"""Extraction-throughput benchmark: HuBERT-Large hidden-state extraction.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: batched 10 s utterances through the full standardized upstream
+path (conv extractor + 24-layer transformer + all hidden states), bf16
+compute, on the default JAX device (the real TPU chip under the driver).
+Baseline: the north-star target of 10,000 audio-sec/sec/chip
+(BASELINE.json; the reference publishes no throughput numbers — SURVEY §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s3prl_tpu import hub
+
+TARGET = 10_000.0  # audio-sec/sec/chip (BASELINE.json north_star)
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    secs = float(os.environ.get("BENCH_SECS", 10.0))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16)
+
+    T = int(16000 * secs)
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(batch_size, T).astype(np.float32))
+    lens = jnp.full((batch_size,), T, jnp.int32)
+
+    # The iteration loop runs ON DEVICE (fori_loop with a data dependency
+    # between iterations) and the result is fetched to host: remote-execution
+    # backends (the axon tunnel) resolve block_until_ready without actually
+    # blocking, so host-side dispatch loops measure nothing.
+    @jax.jit
+    def extract_loop(params, wavs, lens):
+        def body(i, carry):
+            w, acc = carry
+            hs, _ = up.apply_standardized(params, w, lens)
+            dep = 0.0 * hs[-1, :, 0, :1].astype(wavs.dtype).mean(-1, keepdims=True)
+            return wavs + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (wavs, jnp.float32(0)))
+        return acc
+
+    float(np.asarray(extract_loop(up.params, wavs, lens)))  # warmup + compile
+
+    start = time.perf_counter()
+    float(np.asarray(extract_loop(up.params, wavs, lens)))  # host fetch = sync
+    elapsed = time.perf_counter() - start
+
+    audio_sec_per_sec = batch_size * secs * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "hubert_large_extraction_throughput",
+                "value": round(audio_sec_per_sec, 1),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Label encoders and text tokenizers.
+
+Behavioral spec from the reference's s3prl/dataio/encoder/: CategoryEncoder
+(category.py:11-25), the Tokenizer hierarchy (tokenizer.py:40-554 —
+character / word / phoneme tokenizers with vocab files and special tokens;
+subword/BPE variants pending a native trainer), and vocab building
+(vocabulary.py:19-192).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional
+
+
+class CategoryEncoder:
+    """Bijective label <-> id mapping over a sorted category set."""
+
+    def __init__(self, category: Iterable[str]):
+        self.category = sorted(set(category))
+        self._index = {c: i for i, c in enumerate(self.category)}
+
+    def __len__(self) -> int:
+        return len(self.category)
+
+    def encode(self, label: str) -> int:
+        return self._index[label]
+
+    def decode(self, index: int) -> str:
+        return self.category[index]
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(self.category))
+
+    @classmethod
+    def load(cls, path) -> "CategoryEncoder":
+        return cls(json.loads(Path(path).read_text()))
+
+
+class CategoryEncoders:
+    """Multiple independent category encoders (multi-label heads, e.g. IC)."""
+
+    def __init__(self, categories: List[Iterable[str]]):
+        self.encoders = [CategoryEncoder(c) for c in categories]
+
+    def __len__(self) -> int:
+        return sum(len(e) for e in self.encoders)
+
+    def __iter__(self):
+        return iter(self.encoders)
+
+    def encode(self, labels: List[str]) -> List[int]:
+        return [e.encode(l) for e, l in zip(self.encoders, labels)]
+
+    def decode(self, indices: List[int]) -> List[str]:
+        return [e.decode(i) for e, i in zip(self.encoders, indices)]
+
+
+class Tokenizer:
+    """Base text tokenizer with CTC-friendly special tokens.
+
+    Vocab layout follows the reference (tokenizer.py): pad/blank at 0, <unk>,
+    <eos> reserved; `encode` -> ids, `decode` -> text with specials dropped.
+    """
+
+    PAD = "<pad>"  # doubles as the CTC blank (reference uses blank=pad)
+    UNK = "<unk>"
+    EOS = "<eos>"
+    SPECIALS = [PAD, UNK, EOS]
+
+    def __init__(self, vocab: List[str]):
+        non_special = [v for v in vocab if v not in self.SPECIALS]
+        self.tokens = self.SPECIALS + non_special
+        self._index: Dict[str, int] = {t: i for i, t in enumerate(self.tokens)}
+
+    # -- subclass hooks -----------------------------------------------------
+    def text_to_tokens(self, text: str) -> List[str]:
+        raise NotImplementedError
+
+    def tokens_to_text(self, tokens: List[str]) -> str:
+        raise NotImplementedError
+
+    # -- public API ---------------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokens)
+
+    @property
+    def pad_idx(self) -> int:
+        return 0
+
+    @property
+    def unk_idx(self) -> int:
+        return 1
+
+    @property
+    def eos_idx(self) -> int:
+        return 2
+
+    def encode(self, text: str) -> List[int]:
+        return [self._index.get(t, self.unk_idx) for t in self.text_to_tokens(text)]
+
+    def decode(self, ids: List[int], ignore_repeat: bool = False) -> str:
+        tokens = []
+        prev = None
+        for i in ids:
+            if ignore_repeat and i == prev:
+                continue
+            prev = i
+            if i < len(self.SPECIALS):
+                continue
+            tokens.append(self.tokens[i])
+        return self.tokens_to_text(tokens)
+
+    def save(self, path) -> None:
+        Path(path).write_text(
+            json.dumps({"type": type(self).__name__, "tokens": self.tokens})
+        )
+
+
+class CharacterTokenizer(Tokenizer):
+    """Char-level; space encoded as the word delimiter token <space>."""
+
+    SPACE = "<space>"
+
+    def text_to_tokens(self, text: str) -> List[str]:
+        return [self.SPACE if c == " " else c for c in text.upper()]
+
+    def tokens_to_text(self, tokens: List[str]) -> str:
+        return "".join(" " if t == self.SPACE else t for t in tokens).strip()
+
+    @classmethod
+    def from_text(cls, lines: Iterable[str]) -> "CharacterTokenizer":
+        counter = Counter()
+        for line in lines:
+            counter.update(cls.SPACE if c == " " else c for c in line.strip().upper())
+        vocab = [c for c, _ in sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))]
+        if cls.SPACE not in vocab:
+            vocab.insert(0, cls.SPACE)
+        return cls(vocab)
+
+
+class WordTokenizer(Tokenizer):
+    def __init__(self, vocab: List[str], vocab_size: Optional[int] = None):
+        super().__init__(vocab[:vocab_size] if vocab_size else vocab)
+
+    def text_to_tokens(self, text: str) -> List[str]:
+        return text.strip().split()
+
+    def tokens_to_text(self, tokens: List[str]) -> str:
+        return " ".join(tokens)
+
+    @classmethod
+    def from_text(cls, lines: Iterable[str], vocab_size: int = 10000) -> "WordTokenizer":
+        counter = Counter()
+        for line in lines:
+            counter.update(line.strip().split())
+        vocab = [w for w, _ in counter.most_common(vocab_size)]
+        return cls(vocab)
+
+
+class PhonemeTokenizer(WordTokenizer):
+    """Space-separated phoneme sequences (SUPERB PR)."""
+
+
+TOKENIZER_TYPES = {
+    "CharacterTokenizer": CharacterTokenizer,
+    "WordTokenizer": WordTokenizer,
+    "PhonemeTokenizer": PhonemeTokenizer,
+}
+
+
+def load_tokenizer(path) -> Tokenizer:
+    data = json.loads(Path(path).read_text())
+    cls = TOKENIZER_TYPES[data["type"]]
+    tok = cls.__new__(cls)
+    Tokenizer.__init__(tok, [])
+    tok.tokens = data["tokens"]
+    tok._index = {t: i for i, t in enumerate(tok.tokens)}
+    return tok

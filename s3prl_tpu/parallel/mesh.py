@@ -1,0 +1,87 @@
+"""Device mesh + sharding layout.
+
+The TPU-native replacement for the reference's NCCL DDP stack
+(run_downstream.py:166-168, runner.py:112-117, DistributedBatchSamplerWrapper):
+one 2-D mesh with axes ("dp", "tp") — batch sharded over `dp` (gradients
+reduced by XLA psum, replacing DDP allreduce), optional Megatron-style tensor
+parallelism over `tp` for >1B upstreams (attention heads / FFN sharded
+column-then-row so GSPMD inserts a single all-reduce per block).
+
+Everything routes through `jax.sharding.NamedSharding`; under
+`jax.jit(..., in_shardings=..., out_shardings=...)` XLA GSPMD lays the
+collectives on ICI. On one device the same code path runs unsharded — the
+reference's "world_size=1 is the same code" property (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ("dp", "tp") mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % tp == 0, (n, tp)
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over dp, replicated over tp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicate_to_mesh(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+# parameter-name fragments -> PartitionSpec for the trunk's big matmuls.
+# Column-parallel (shard output dim) for qkv/fc1, row-parallel (shard input
+# dim) for out_proj/fc2; scanned layers carry a leading L axis.
+_TP_RULES = (
+    (("self_attn", "qkv", "kernel"), P(None, None, "tp")),
+    (("self_attn", "qkv", "bias"), P(None, "tp")),
+    (("self_attn", "out_proj", "kernel"), P(None, "tp", None)),
+    (("fc1", "kernel"), P(None, None, "tp")),
+    (("fc1", "bias"), P(None, "tp")),
+    (("fc2", "kernel"), P(None, "tp", None)),
+)
+
+
+def _path_names(path) -> tuple:
+    return tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+
+
+def param_shardings(mesh: Mesh, params: Any, tp_rules=_TP_RULES) -> Any:
+    """NamedSharding tree: TP rules on matched paths, replicate the rest."""
+
+    def spec_for(path) -> P:
+        names = _path_names(path)
+        if mesh.shape.get("tp", 1) > 1:
+            for frag, spec in tp_rules:
+                if len(names) >= len(frag) and tuple(names[-len(frag):]) == frag:
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path)), params
+    )
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place params on the mesh according to `param_shardings`."""
+    return jax.device_put(params, param_shardings(mesh, params))

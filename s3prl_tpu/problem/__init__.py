@@ -1,0 +1,3 @@
+from .base import Problem
+from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
+from .asr import SuperbASR, SuperbPR

@@ -1,0 +1,101 @@
+"""Speaker verification task (SUPERB ASV).
+
+Behavioral spec from the reference's SpeakerVerification task
+(s3prl/task/speaker_verification_task.py:62-209): train a speaker classifier
+with AM-softmax margin loss over x-vector style embeddings; evaluate by
+cosine-scoring trial pairs and reducing to EER / minDCF.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .base import Task
+from ..metric import compute_eer, compute_minDCF
+
+
+def amsoftmax_logits(
+    embs: jnp.ndarray,  # [B, D]
+    weight: jnp.ndarray,  # [D, C] (column-normalized at use)
+    labels: jnp.ndarray,  # [B]
+    margin: float = 0.4,
+    scale: float = 30.0,
+) -> jnp.ndarray:
+    """Additive-margin softmax logits (reference: nn/speaker_loss.py amsoftmax)."""
+    w = weight / jnp.maximum(jnp.linalg.norm(weight, axis=0, keepdims=True), 1e-8)
+    e = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-8)
+    cos = e @ w  # [B, C]
+    onehot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
+    return scale * (cos - margin * onehot)
+
+
+class SpeakerVerificationTask(Task):
+    """Training = AM-softmax classification; testing = trial cosine scoring.
+
+    Test batches carry paired utterances; the problem layer computes
+    embeddings per utterance and calls `score_trials`.
+    """
+
+    def __init__(self, module, num_speakers: int, margin: float = 0.4, scale: float = 30.0):
+        self.module = module  # maps (hs, h_lens) -> embeddings [B, D]
+        self.num_speakers = num_speakers
+        self.margin = margin
+        self.scale = scale
+        self.host_keys = ("unique_name",)
+
+    valid_metric = "eer"
+    valid_higher_better = False
+
+    def init_params(self, key, hs, h_lens, batch):
+        k1, k2 = jax.random.split(key)
+        params = self.module.init(k1, hs, h_lens)["params"]
+        emb = self.module.apply({"params": params}, hs, h_lens)
+        if isinstance(emb, tuple):
+            emb = emb[0]
+        params["am_weight"] = jax.random.normal(
+            k2, (emb.shape[-1], self.num_speakers), jnp.float32
+        ) * 0.01
+        return params
+
+    def _embed(self, params, hs, h_lens, rng=None, train=False):
+        module_params = {k: v for k, v in params.items() if k != "am_weight"}
+        emb = self.module.apply(
+            {"params": module_params}, hs, h_lens, train=train,
+            rngs={"dropout": rng} if train else None,
+        )
+        return emb[0] if isinstance(emb, tuple) else emb
+
+    def loss_and_cache(self, params, hs, h_lens, batch, rng, train):
+        emb = self._embed(params, hs, h_lens, rng, train)
+        labels = batch["class_id"]
+        logits = amsoftmax_logits(emb, params["am_weight"], labels, self.margin, self.scale)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        pred = jnp.argmax(logits, axis=-1)
+        return loss, {"loss": loss, "prediction": pred, "label": labels, "embedding": emb}
+
+    def reduction(self, mode: str, records: List[Dict[str, Any]]) -> Dict[str, float]:
+        preds = np.concatenate([r["prediction"] for r in records])
+        labels = np.concatenate([r["label"] for r in records])
+        losses = [float(r["loss"]) for r in records]
+        return {"accuracy": float((preds == labels).mean()), "loss": float(np.mean(losses))}
+
+    @staticmethod
+    def score_trials(
+        emb_by_name: Dict[str, np.ndarray], trials: List[Tuple[int, str, str]]
+    ) -> Dict[str, float]:
+        """trials: (label, name_a, name_b) -> EER/minDCF over cosine scores."""
+        scores, labels = [], []
+        for label, a, b in trials:
+            ea, eb = emb_by_name[a], emb_by_name[b]
+            s = float(ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb) + 1e-8))
+            scores.append(s)
+            labels.append(int(label))
+        eer, _ = compute_eer(labels, scores)
+        mindcf, _ = compute_minDCF(labels, scores)
+        return {"eer": eer, "minDCF": mindcf}

@@ -94,9 +94,19 @@ class Upstream:
         train: bool = False,
         rngs: Optional[dict] = None,
     ):
+        return self.apply_standardized(self.params, wavs, wav_lens, train, rngs)
+
+    def apply_standardized(
+        self,
+        params,
+        wavs: jnp.ndarray,
+        wav_lens: jnp.ndarray,
+        train: bool = False,
+        rngs: Optional[dict] = None,
+    ):
         """Standardized forward: returns (hs[L, B, T, H], h_lens[B]).
 
-        Jit-friendly: wrap in jax.jit with static train. Mirrors
+        Pure in `params` — jit-friendly with static `train`. Mirrors
         S3PRLUpstream.forward (nn/upstream.py:181-231) on padded batches.
         """
         wavs = jnp.asarray(wavs)
@@ -111,7 +121,7 @@ class Upstream:
             run_lens = wav_lens + (min_samples - original_max)
         else:
             run_lens = wav_lens
-        hs, _ = self.apply_fn(self.params, wavs, run_lens, train, rngs)
+        hs, _ = self.apply_fn(params, wavs, run_lens, train, rngs)
         return standardize_hidden_states(hs, wav_lens, int(wavs.shape[1]), self.downsample_rate)
 
 

@@ -1,0 +1,106 @@
+"""Data-layer unit tests: samplers (incl. the distributed wrapper's lossless
+partition property, mirroring test/test_sampler.py:21-28), tokenizers,
+collate bucketing, wav IO."""
+
+import numpy as np
+import pytest
+
+from s3prl_tpu.data import (
+    Buckets,
+    CharacterTokenizer,
+    DistributedBatchSamplerWrapper,
+    FixedBatchSizeBatchSampler,
+    MaxTimestampBatchSampler,
+    SortedBucketingSampler,
+    WordTokenizer,
+    load_wav,
+    pad_collate,
+)
+from s3prl_tpu.metric import cer, compute_eer, edit_distance, wer
+from s3prl_tpu.util.pseudo_data import pseudo_audio
+
+
+def test_distributed_wrapper_lossless_partition():
+    lengths = np.random.RandomState(0).randint(100, 1000, size=53)
+    base = SortedBucketingSampler(lengths, batch_size=8)
+    for world_size in range(1, 9):
+        seen = []
+        counts = set()
+        for rank in range(world_size):
+            wrapper = DistributedBatchSamplerWrapper(base, world_size, rank)
+            batches = list(wrapper)
+            counts.add(len(batches))
+            for b in batches:
+                seen.extend(b)
+        assert len(counts) == 1, f"ranks disagree on step count at ws={world_size}"
+        assert set(seen) == set(range(53)), f"lost indices at ws={world_size}"
+
+
+def test_sorted_bucketing_sorts_by_length():
+    lengths = [10, 500, 20, 400, 30]
+    s = SortedBucketingSampler(lengths, batch_size=2)
+    batches = list(s)
+    assert batches[0] == [1, 3]  # two longest first
+
+
+def test_max_timestamp_budget():
+    lengths = [100, 90, 80, 10, 10]
+    s = MaxTimestampBatchSampler(lengths, max_timestamp=200)
+    for batch in s:
+        mx = max(lengths[i] for i in batch)
+        assert mx * len(batch) <= 200
+    all_idx = [i for b in s for i in b]
+    assert sorted(all_idx) == list(range(5))
+
+
+def test_character_tokenizer_roundtrip():
+    tok = CharacterTokenizer.from_text(["hello world", "abc"])
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "HELLO WORLD"
+    # ctc-style decode collapses repeats but keeps blank-separated repeats
+    c = tok.tokens[4]
+    assert tok.decode([4, 4, 0, 4], ignore_repeat=True) == (c + c)
+
+
+def test_word_tokenizer():
+    tok = WordTokenizer.from_text(["a b c", "a b"], vocab_size=10)
+    assert tok.decode(tok.encode("a b c")) == "a b c"
+    assert tok.encode("zzz") == [tok.unk_idx]
+
+
+def test_collate_buckets():
+    items = [
+        {"x": np.zeros(5000, np.float32), "class_id": 1, "label": "a"},
+        {"x": np.zeros(12000, np.float32), "class_id": 0, "label": "b"},
+    ]
+    buckets = Buckets.linear(16000, 32000)
+    batch = pad_collate(items, buckets)
+    assert batch["x"].shape == (2, 16000)  # padded up to bucket boundary
+    np.testing.assert_array_equal(batch["x_len"], [5000, 12000])
+    assert batch["label"] == ["a", "b"]
+
+
+def test_load_wav_roundtrip():
+    with pseudo_audio([1.0]) as (paths, lens):
+        wav, sr = load_wav(paths[0])
+        assert sr == 16000
+        assert abs(len(wav) - lens[0]) <= 1
+        wav2, _ = load_wav(paths[0], start_sec=0.25, end_sec=0.75)
+        assert abs(len(wav2) - 8000) <= 1
+
+
+def test_edit_distance_and_rates():
+    assert edit_distance("kitten", "sitting") == 3
+    assert wer(["a b c"], ["a b c"]) == 0.0
+    assert wer(["a x c"], ["a b c"]) == pytest.approx(1 / 3)
+    assert cer(["abc"], ["adc"]) == pytest.approx(1 / 3)
+
+
+def test_eer_separable():
+    scores = [0.9, 0.8, 0.7, 0.2, 0.1, 0.0]
+    labels = [1, 1, 1, 0, 0, 0]
+    eer, _ = compute_eer(labels, scores)
+    assert eer == 0.0
+    # fully random
+    eer2, _ = compute_eer([1, 0, 1, 0], [0.6, 0.6, 0.4, 0.4])
+    assert 0.0 <= eer2 <= 1.0

@@ -1,0 +1,55 @@
+"""End-to-end integration: full staged recipe on pseudo audio.
+
+Mirrors the reference's integration strategy (test/integration/
+test_superb.py:22-87): run ALL stages of a problem on fake data with the
+fbank upstream and a handful of steps on CPU — no mocks of the framework
+itself, only the data is fake.
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+from s3prl_tpu.problem import CommonExample
+
+
+def test_common_example_full_run(tmp_path):
+    problem = CommonExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+
+    # stage artifacts exist
+    assert (tmp_path / "train.csv").exists()
+    assert (tmp_path / "encoder.json").exists()
+    assert (tmp_path / "result.yaml").exists()
+    result = yaml.safe_load((tmp_path / "result.yaml").read_text())
+    assert "test" in result
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
+    assert np.isfinite(result["test"]["loss"])
+
+    # checkpoints written with GC
+    step_dirs = list((tmp_path / "train").glob("step_*"))
+    assert step_dirs, "no checkpoints saved"
+    assert (tmp_path / "train" / "metrics.jsonl").exists()
+
+
+def test_common_example_resume(tmp_path):
+    """Auto-resume: a second run continues from the saved step, runs 0 new
+    steps (total_steps already reached), and still evaluates."""
+    problem = CommonExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    # run only the train stage again — should resume at step 4 and exit
+    problem.run(str(tmp_path), start=2, stop=2, **config)
+    metrics = (tmp_path / "train" / "metrics.jsonl").read_text().splitlines()
+    assert metrics
+
+
+def test_cli_print_config(capsys):
+    from s3prl_tpu.main import main
+
+    main(["CommonExample", "--print_config"])
+    out = capsys.readouterr().out
+    assert "build_upstream" in out and "target_dir" in out
