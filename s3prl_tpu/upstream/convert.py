@@ -168,3 +168,112 @@ def load_checkpoint(path: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
 
 def load_params(path: str) -> Dict[str, Any]:
     return load_checkpoint(path)[1]
+
+
+# ---------------------------------------------------------------------------
+# WavLM (reference: s3prl/upstream/wavlm — official MSFT ckpt {"cfg","model"})
+# ---------------------------------------------------------------------------
+
+
+def wavlm_config_from_cfg(cfg_dict: Dict[str, Any]):
+    """Map a WavLM checkpoint cfg dict onto our WavLMConfig."""
+    import ast
+
+    from ..models.wavlm import WavLMConfig
+
+    conv = cfg_dict.get("conv_feature_layers")
+    kwargs = dict(
+        extractor_mode=cfg_dict.get("extractor_mode", "default"),
+        encoder_layers=cfg_dict.get("encoder_layers", 12),
+        encoder_embed_dim=cfg_dict.get("encoder_embed_dim", 768),
+        encoder_ffn_embed_dim=cfg_dict.get("encoder_ffn_embed_dim", 3072),
+        encoder_attention_heads=cfg_dict.get("encoder_attention_heads", 12),
+        activation_fn=cfg_dict.get("activation_fn", "gelu"),
+        layer_norm_first=cfg_dict.get("layer_norm_first", False),
+        conv_bias=cfg_dict.get("conv_bias", False),
+        conv_pos=cfg_dict.get("conv_pos", 128),
+        conv_pos_groups=cfg_dict.get("conv_pos_groups", 16),
+        dropout=cfg_dict.get("dropout", 0.1),
+        attention_dropout=cfg_dict.get("attention_dropout", 0.1),
+        activation_dropout=cfg_dict.get("activation_dropout", 0.0),
+        dropout_input=cfg_dict.get("dropout_input", 0.0),
+        normalize=cfg_dict.get("normalize", False),
+        relative_position_embedding=cfg_dict.get("relative_position_embedding", True),
+        num_buckets=cfg_dict.get("num_buckets", 320),
+        max_distance=cfg_dict.get("max_distance", 800),
+        gru_rel_pos=cfg_dict.get("gru_rel_pos", True),
+    )
+    if isinstance(conv, str):
+        kwargs["conv_feature_layers"] = tuple(tuple(c) for c in ast.literal_eval(conv))
+    elif conv is not None:
+        kwargs["conv_feature_layers"] = tuple(tuple(c) for c in conv)
+    return WavLMConfig(**kwargs)
+
+
+def wavlm_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a WavLM torch state_dict to the WavLMModel param tree."""
+    import jax
+
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        conv = {"kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)}
+        if cfg.conv_bias:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+    params["feature_extractor"] = fe
+    params["layer_norm"] = _norm(sd, "layer_norm")
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+    params["mask_emb"] = _t(sd["mask_emb"]) if "mask_emb" in sd else np.zeros(
+        (cfg.encoder_embed_dim,), np.float32
+    )
+    w = _fold_weight_norm(
+        _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
+    )
+    params["pos_conv"] = {
+        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+    }
+    params["enc_layer_norm"] = _norm(sd, "encoder.layer_norm")
+    if cfg.relative_position_embedding:
+        params["relative_attention_bias"] = _t(
+            sd["encoder.layers.0.self_attn.relative_attention_bias.weight"]
+        )
+    per_layer = []
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        layer = {
+            "self_attn": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{p}.fc1"),
+            "fc2": _linear(sd, f"{p}.fc2"),
+            "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+        }
+        if cfg.gru_rel_pos:
+            layer["grep_linear"] = _linear(sd, f"{p}.self_attn.grep_linear")
+            layer["grep_a"] = _t(sd[f"{p}.self_attn.grep_a"])
+        per_layer.append(layer)
+    params["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    return params
+
+
+def load_wavlm_checkpoint(path: str):
+    """Load an official/msft-style WavLM ckpt -> (WavLMConfig, params)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg = wavlm_config_from_cfg(ckpt.get("cfg", {}))
+    return cfg, wavlm_params_from_torch(ckpt["model"], cfg)

@@ -146,3 +146,62 @@ def hubert_base(**kwargs) -> Upstream:
 @register("hubert_large_ll60k")
 def hubert_large(**kwargs) -> Upstream:
     return _trunk_upstream("hubert_large", LARGE, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# WavLM (gated rel-pos-bias attention; reference: s3prl/upstream/wavlm)
+# ---------------------------------------------------------------------------
+
+
+def _wavlm_upstream(name, default_cfg, ckpt=None, dtype=jnp.float32, seed=0, remat=False):
+    from ..models.wavlm import WavLMModel
+
+    if ckpt is not None:
+        from .convert import load_wavlm_checkpoint
+
+        cfg, params = load_wavlm_checkpoint(ckpt)
+        model = WavLMModel(cfg, dtype=dtype, remat=remat)
+    else:
+        cfg = default_cfg
+        model = WavLMModel(cfg, dtype=dtype, remat=remat)
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = model.init(
+            jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True
+        )["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply(
+            {"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs
+        )
+
+    return Upstream(
+        name=name,
+        apply_fn=apply_fn,
+        params=params,
+        num_layers=cfg.encoder_layers + 1,
+        hidden_size=cfg.encoder_embed_dim,
+        downsample_rate=cfg.downsample_rate,
+    )
+
+
+@register("wavlm")
+@register("wavlm_base")
+def wavlm_base(**kwargs) -> Upstream:
+    from ..models.wavlm import WAVLM_BASE
+
+    return _wavlm_upstream("wavlm", WAVLM_BASE, **kwargs)
+
+
+@register("wavlm_base_plus")
+def wavlm_base_plus(**kwargs) -> Upstream:
+    from ..models.wavlm import WAVLM_BASE_PLUS
+
+    return _wavlm_upstream("wavlm_base_plus", WAVLM_BASE_PLUS, **kwargs)
+
+
+@register("wavlm_large")
+def wavlm_large(**kwargs) -> Upstream:
+    from ..models.wavlm import WAVLM_LARGE
+
+    return _wavlm_upstream("wavlm_large", WAVLM_LARGE, **kwargs)
