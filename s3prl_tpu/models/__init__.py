@@ -1,1 +1,1 @@
-from . import baseline, hubert, transformer, wav2vec2
+from . import apc, baseline, hubert, mockingjay, npc, transformer, wav2vec2, wavlm

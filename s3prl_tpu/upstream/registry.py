@@ -205,3 +205,126 @@ def wavlm_large(**kwargs) -> Upstream:
     from ..models.wavlm import WAVLM_LARGE
 
     return _wavlm_upstream("wavlm_large", WAVLM_LARGE, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Mel-domain SSL family: mockingjay / tera / audio_albert (BERT-style),
+# apc / vq_apc (GRU predictive coding), npc (masked convs).
+# Feature front-ends follow pretrain/*/config_model.yaml: mockingjay =
+# kaldi fbank80 + delta2 + cmvn (240-d); tera / audio_albert / apc / npc =
+# log-mel 80 + cmvn.
+# ---------------------------------------------------------------------------
+
+
+def _mel_features(kind: str):
+    from ..models.baseline import baseline_features
+    from ..ops import audio as audio_ops
+
+    if kind == "fbank_delta":
+        def fn(wavs, lens):
+            return baseline_features(
+                wavs, lens, feat_type="fbank", num_mel_bins=80, delta_order=2, cmvn=True
+            )
+    else:  # log-mel 80 + cmvn
+        def fn(wavs, lens):
+            feats, feat_lens = audio_ops.log_mel(wavs, lens, n_mels=80)
+            return audio_ops.cmvn(feats, feat_lens), feat_lens
+    return fn
+
+
+def _feat_encoder_upstream(name, feat_kind, build_model, num_layers, hidden,
+                           stride=160, seed=0, ckpt=None, dtype=jnp.float32):
+    feat_fn = _mel_features(feat_kind)
+    model = build_model(dtype)
+
+    mode_kw = (lambda train: {"train": train}) if ("apc" in name or name == "npc") \
+        else (lambda train: {"deterministic": not train})
+
+    def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
+        feats, feat_lens = feat_fn(wavs, wav_lens)
+        out = model.apply(variables, feats, feat_lens, **mode_kw(train), rngs=rngs)
+        return out[0], feat_lens
+
+    if ckpt is not None:
+        from .convert import load_mel_ssl_checkpoint
+
+        variables = load_mel_ssl_checkpoint(name, ckpt)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        wavs = jnp.zeros((1, 16000), jnp.float32)
+        feats, feat_lens = feat_fn(wavs, jnp.asarray([16000]))
+        rngs = {"params": jax.random.key(seed), "gumbel": jax.random.key(seed + 1)}
+        # keep ALL variable collections (NPC carries batch_stats)
+        variables = model.init(rngs, feats, feat_lens, **mode_kw(False))
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=variables,
+        num_layers=num_layers, hidden_size=hidden, downsample_rate=stride,
+    )
+
+
+@register("mockingjay")
+def mockingjay(**kwargs) -> Upstream:
+    from ..models.mockingjay import MockingjayConfig, MockingjayEncoder
+
+    cfg = MockingjayConfig(input_dim=240)
+    return _feat_encoder_upstream(
+        "mockingjay", "fbank_delta",
+        lambda dtype: MockingjayEncoder(cfg, dtype),
+        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+    )
+
+
+@register("tera")
+def tera(**kwargs) -> Upstream:
+    from ..models.mockingjay import MockingjayConfig, MockingjayEncoder
+
+    cfg = MockingjayConfig(input_dim=80)
+    return _feat_encoder_upstream(
+        "tera", "mel", lambda dtype: MockingjayEncoder(cfg, dtype),
+        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+    )
+
+
+@register("audio_albert")
+def audio_albert(**kwargs) -> Upstream:
+    from ..models.mockingjay import MockingjayConfig, MockingjayEncoder
+
+    cfg = MockingjayConfig(input_dim=80, share_layer=True)
+    return _feat_encoder_upstream(
+        "audio_albert", "mel", lambda dtype: MockingjayEncoder(cfg, dtype),
+        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+    )
+
+
+@register("apc")
+def apc(**kwargs) -> Upstream:
+    from ..models.apc import APCConfig, APCModel
+
+    cfg = APCConfig()
+    return _feat_encoder_upstream(
+        "apc", "mel", lambda dtype: APCModel(cfg),
+        cfg.num_layers, cfg.hidden_size, **kwargs,
+    )
+
+
+@register("vq_apc")
+def vq_apc(**kwargs) -> Upstream:
+    from ..models.apc import APCConfig, APCModel
+
+    cfg = APCConfig(vq_codebook_size=(512,), vq_code_dim=(512,))
+    return _feat_encoder_upstream(
+        "vq_apc", "mel", lambda dtype: APCModel(cfg),
+        cfg.num_layers, cfg.hidden_size, **kwargs,
+    )
+
+
+@register("npc")
+def npc(**kwargs) -> Upstream:
+    from ..models.npc import NPCConfig, NPCModel
+
+    cfg = NPCConfig()
+    return _feat_encoder_upstream(
+        "npc", "mel", lambda dtype: NPCModel(cfg),
+        cfg.n_blocks, cfg.hidden_size, **kwargs,
+    )

@@ -1,0 +1,112 @@
+"""Mel-domain SSL family: mockingjay / tera / audio_albert / apc / vq_apc /
+npc upstreams + their pretraining objectives (MAM, autoregressive)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3prl_tpu import hub
+from s3prl_tpu.util.pseudo_data import pseudo_batch
+
+
+@pytest.mark.parametrize(
+    "name,num_layers,hidden",
+    [
+        ("mockingjay", 3, 768),
+        ("tera", 3, 768),
+        ("audio_albert", 3, 768),
+        ("apc", 3, 512),
+        ("vq_apc", 3, 512),
+        ("npc", 4, 512),
+    ],
+)
+def test_mel_ssl_upstream_forward(name, num_layers, hidden):
+    up = hub.load(name)
+    wavs, lens = pseudo_batch([1.0, 0.62])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == num_layers
+    assert hs.shape[-1] == hidden
+    np.testing.assert_array_equal(np.asarray(h_lens), (lens - 1) // 160 + 1)
+    assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_audio_albert_shares_weights():
+    """ALBERT variant must have a single (unstacked) layer param set."""
+    up_albert = hub.load("audio_albert")
+    up_tera = hub.load("tera")
+    q_albert = up_albert.params["params"]["layers"]["query"]["kernel"]
+    q_tera = up_tera.params["params"]["layers"]["query"]["kernel"]
+    assert q_albert.ndim == 2  # shared: [C, C]
+    assert q_tera.ndim == 3  # stacked: [L, C, C]
+
+
+def test_masked_reconstruction_task_trains():
+    from s3prl_tpu.models.mockingjay import (
+        MockingjayConfig,
+        MockingjayEncoder,
+        SpecPredictionHead,
+    )
+    from s3prl_tpu.task.reconstruction import MaskedReconstructionTask
+    import flax.linen as nn
+    import optax
+
+    cfg = MockingjayConfig(
+        input_dim=80, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+    )
+
+    class PretrainModel(nn.Module):
+        @nn.compact
+        def __call__(self, feats, feat_lens, train=False):
+            hs, lens = MockingjayEncoder(cfg, name="encoder")(
+                feats, feat_lens, deterministic=not train
+            )
+            pred = SpecPredictionHead(cfg, output_dim=80, name="head")(hs[-1])
+            return pred, lens
+
+    task = MaskedReconstructionTask(PretrainModel(), mask_frequency=0.1)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 50, 80).astype(np.float32))
+    lens = jnp.asarray([50, 30])
+    params = task.init_params(jax.random.key(0), feats, lens, {})
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (loss, cache), grads = jax.value_and_grad(task.loss_and_cache, has_aux=True)(
+            params, feats, lens, {}, key, True
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = step(params, opt_state, jax.random.key(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learning happens
+
+
+def test_autoregressive_task_with_apc():
+    from s3prl_tpu.models.apc import APCConfig, APCModel
+    from s3prl_tpu.task.reconstruction import AutoregressiveReconstructionTask
+    import flax.linen as nn
+
+    cfg = APCConfig(input_size=40, hidden_size=32, num_layers=2)
+
+    class Wrapper(nn.Module):
+        @nn.compact
+        def __call__(self, feats, feat_lens, train=False):
+            hs, pred, lens = APCModel(cfg, name="apc")(feats, feat_lens, train=train)
+            return pred, lens
+
+    task = AutoregressiveReconstructionTask(Wrapper(), n_future=3)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 40, 40).astype(np.float32))
+    lens = jnp.asarray([40, 25])
+    params = task.init_params(jax.random.key(0), feats, lens, {})
+    loss, cache = task.loss_and_cache(params, feats, lens, {}, jax.random.key(1), False)
+    assert np.isfinite(float(loss))
