@@ -107,8 +107,9 @@ class BertLayer(nn.Module):
 class MockingjayEncoder(nn.Module):
     """Input projection + sinusoid pos enc + N BERT blocks.
 
-    Returns hidden_states[N, B, T, H] — the reference exposes the N encoded
-    layer outputs (mockingjay/expert.py:62-67), not the input embedding.
+    Returns hidden_states[N+1, B, T, H] — layer inputs plus the final output
+    (the reference appends hidden_states before every block and once after
+    the loop, model.py:359-388: [input_repr, block1_out, ..., blockN_out]).
     """
 
     cfg: MockingjayConfig = MockingjayConfig()
@@ -142,7 +143,7 @@ class MockingjayEncoder(nn.Module):
 
         def body(layer, carry, _):
             h = layer(carry, key_padding_mask, deterministic)
-            return h, h  # collect layer *outputs* (BERT convention)
+            return h, carry  # collect layer *inputs*; final appended below
 
         if cfg.share_layer:  # AudioALBERT: one param set broadcast over steps
             scan = nn.scan(
@@ -159,8 +160,9 @@ class MockingjayEncoder(nn.Module):
                 length=cfg.num_hidden_layers,
             )
         layer = BertLayer(cfg, self.dtype, name="layers")
-        _, layer_outputs = scan(layer, x, None)
-        return layer_outputs, feat_lens
+        x, layer_inputs = scan(layer, x, None)
+        hidden_states = jnp.concatenate([layer_inputs, x[None]], axis=0)
+        return hidden_states, feat_lens
 
 
 class SpecPredictionHead(nn.Module):

@@ -277,3 +277,46 @@ def load_wavlm_checkpoint(path: str):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     cfg = wavlm_config_from_cfg(ckpt.get("cfg", {}))
     return cfg, wavlm_params_from_torch(ckpt["model"], cfg)
+
+
+# ---------------------------------------------------------------------------
+# Mockingjay / TERA / AudioALBERT (reference: upstream/mockingjay/model.py —
+# torch naming follows BERT: encoder.layer.{i}.attention.self.query ...)
+# ---------------------------------------------------------------------------
+
+
+def mockingjay_params_from_torch(sd: Dict[str, Any], num_layers: int, share_layer: bool = False) -> Dict[str, Any]:
+    """Map a TransformerModel state_dict to the MockingjayEncoder param tree.
+
+    Accepts either bare TransformerModel keys or the `transformer.`-prefixed
+    keys found inside pretraining checkpoints.
+    """
+    import jax
+
+    if any(k.startswith("transformer.") for k in sd):
+        sd = {k[len("transformer."):]: v for k, v in sd.items() if k.startswith("transformer.")}
+
+    params: Dict[str, Any] = {
+        "spec_transform": _linear(sd, "input_representations.spec_transform"),
+        "input_layer_norm": _norm(sd, "input_representations.LayerNorm"),
+    }
+
+    def layer(i):
+        p = f"encoder.layer.{i}"
+        return {
+            "query": _linear(sd, f"{p}.attention.self.query"),
+            "key": _linear(sd, f"{p}.attention.self.key"),
+            "value": _linear(sd, f"{p}.attention.self.value"),
+            "attn_output": _linear(sd, f"{p}.attention.output.dense"),
+            "attn_layer_norm": _norm(sd, f"{p}.attention.output.LayerNorm"),
+            "intermediate": _linear(sd, f"{p}.intermediate.dense"),
+            "output": _linear(sd, f"{p}.output.dense"),
+            "out_layer_norm": _norm(sd, f"{p}.output.LayerNorm"),
+        }
+
+    if share_layer:
+        params["layers"] = layer(0)
+    else:
+        per_layer = [layer(i) for i in range(num_layers)]
+        params["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    return params

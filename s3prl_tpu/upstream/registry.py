@@ -271,7 +271,7 @@ def mockingjay(**kwargs) -> Upstream:
     return _feat_encoder_upstream(
         "mockingjay", "fbank_delta",
         lambda dtype: MockingjayEncoder(cfg, dtype),
-        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+        cfg.num_hidden_layers + 1, cfg.hidden_size, **kwargs,
     )
 
 
@@ -282,7 +282,7 @@ def tera(**kwargs) -> Upstream:
     cfg = MockingjayConfig(input_dim=80)
     return _feat_encoder_upstream(
         "tera", "mel", lambda dtype: MockingjayEncoder(cfg, dtype),
-        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+        cfg.num_hidden_layers + 1, cfg.hidden_size, **kwargs,
     )
 
 
@@ -293,7 +293,7 @@ def audio_albert(**kwargs) -> Upstream:
     cfg = MockingjayConfig(input_dim=80, share_layer=True)
     return _feat_encoder_upstream(
         "audio_albert", "mel", lambda dtype: MockingjayEncoder(cfg, dtype),
-        cfg.num_hidden_layers, cfg.hidden_size, **kwargs,
+        cfg.num_hidden_layers + 1, cfg.hidden_size, **kwargs,
     )
 
 

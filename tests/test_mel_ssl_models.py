@@ -14,9 +14,9 @@ from s3prl_tpu.util.pseudo_data import pseudo_batch
 @pytest.mark.parametrize(
     "name,num_layers,hidden",
     [
-        ("mockingjay", 3, 768),
-        ("tera", 3, 768),
-        ("audio_albert", 3, 768),
+        ("mockingjay", 4, 768),
+        ("tera", 4, 768),
+        ("audio_albert", 4, 768),
         ("apc", 3, 512),
         ("vq_apc", 3, 512),
         ("npc", 4, 512),
