@@ -1,3 +1,10 @@
 from .base import Problem
 from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import SuperbASR, SuperbPR
+from .pretrain import (
+    PretrainAPC,
+    PretrainAudioAlbert,
+    PretrainExample,
+    PretrainMockingjay,
+    PretrainTera,
+)

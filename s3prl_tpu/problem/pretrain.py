@@ -1,0 +1,259 @@
+"""SSL pretraining problems (the run_pretrain analog).
+
+Behavioral spec from the reference's pretraining runtime
+(s3prl/run_pretrain.py + pretrain/runner.py + per-recipe pretrain_expert.py
+and config_model.yaml): each recipe trains its SSL objective on raw audio
+CSVs — mockingjay/tera/audio_albert = masked acoustic modeling over on-the-
+fly mel features; apc/vq_apc = autoregressive prediction; npc = masked-conv
+reconstruction.
+
+TPU-first: the reference does feature extraction + masking in DataLoader
+worker processes (pretrain/mockingjay/dataset.py:49-86); here the wav goes
+to the device and features + MAM masks are computed inside the jitted train
+step (ops/audio + ops/mam) — zero CPU feature code, full overlap.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import flax.linen as nn
+import pandas as pd
+
+from .base import Problem
+from .common import CommonExample
+from ..data.collate import Buckets, pad_collate
+from ..data.loader import DataLoader
+from ..data.sampler import MaxTimestampBatchSampler, SortedBucketingSampler
+from ..train.trainer import Trainer, TrainerConfig
+from ..upstream.registry import load as hub_load
+
+logger = logging.getLogger(__name__)
+
+
+class _AudioOnlyDataset:
+    """CSV rows with wav_path (+duration); random-free (crop via end_sec)."""
+
+    def __init__(self, csv_path, sample_rate=16000, max_secs: float = 15.0):
+        self.df = pd.read_csv(csv_path)
+        self.sample_rate = sample_rate
+        self.max_secs = max_secs
+
+    def __len__(self):
+        return len(self.df)
+
+    @property
+    def lengths(self):
+        if "duration" in self.df.columns:
+            return (
+                self.df["duration"].clip(upper=self.max_secs) * self.sample_rate
+            ).astype(int).tolist()
+        from ..data.audio import audio_info
+
+        return [
+            min(audio_info(p)["num_frames"], int(self.max_secs * self.sample_rate))
+            for p in self.df["wav_path"]
+        ]
+
+    def __getitem__(self, i):
+        from ..data.audio import load_wav
+
+        row = self.df.iloc[i]
+        wav, _ = load_wav(row["wav_path"], self.sample_rate, 0.0, self.max_secs)
+        return {"x": wav, "unique_name": str(row["id"])}
+
+
+class PretrainProblem(Problem):
+    """Shared staged procedure: stage 0 audio CSVs, stage 1 train."""
+
+    STAGES = ["prepare_data", "train_stage"]
+
+    #: which front-end upstream feeds the objective ("fbank" 240-d stacked
+    #: deltas for mockingjay, "mel" 80-d log-mel for the others)
+    feature_upstream = "mel"
+
+    def prepare_data(self, workspace: Path, config: dict):
+        raise NotImplementedError
+
+    def build_task(self, config: dict):
+        raise NotImplementedError
+
+    def _loader(self, workspace, csv_name, config):
+        csv_path = workspace / csv_name
+        if not csv_path.exists():
+            return None
+        ds = _AudioOnlyDataset(csv_path, max_secs=config.get("max_secs", 15.0))
+        cfg = config.get("build_batch_sampler", {})
+        sampler = SortedBucketingSampler(
+            ds.lengths, batch_size=cfg.get("batch_size", 8),
+            max_length=cfg.get("max_length", 16000 * 15), shuffle=True,
+        )
+        buckets = Buckets.linear(config.get("bucket_step", 16000), 16000 * 30)
+        return DataLoader(ds, sampler, lambda items: pad_collate(items, buckets))
+
+    def train_stage(self, workspace: Path, config: dict):
+        upstream = hub_load(self.feature_upstream)
+        task = self.build_task(config)
+        trainer = Trainer(
+            upstream, task, workspace / "train",
+            TrainerConfig(
+                optimizer=config.get("build_optimizer", {"name": "AdamW", "lr": 2e-4}),
+                **config.get("train", {}),
+            ),
+        )
+        train_loader = self._loader(workspace, "train.csv", config)
+        valid_loader = self._loader(workspace, "valid.csv", config)
+        trainer.train(train_loader, valid_loader)
+        return trainer
+
+
+def _mam_model(enc_cfg, output_dim):
+    from ..models.mockingjay import MockingjayEncoder, SpecPredictionHead
+
+    class PretrainModel(nn.Module):
+        @nn.compact
+        def __call__(self, feats, feat_lens, train=False):
+            hs, lens = MockingjayEncoder(enc_cfg, name="encoder")(
+                feats, feat_lens, deterministic=not train
+            )
+            pred = SpecPredictionHead(enc_cfg, output_dim=output_dim, name="head")(hs[-1])
+            return pred, lens
+
+    return PretrainModel()
+
+
+class PretrainMockingjay(PretrainProblem):
+    """MAM on fbank80+deltas (reference: pretrain/mockingjay/config_model.yaml)."""
+
+    feature_upstream = "fbank"
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "build_model": {
+                "hidden_size": 768, "num_hidden_layers": 3,
+                "num_attention_heads": 12, "intermediate_size": 3072,
+            },
+            "build_task": {
+                "loss": "L1", "mask_proportion": 0.15,
+                "mask_consecutive": 7, "mask_frequency": 0.0,
+            },
+            "build_batch_sampler": {"batch_size": 8},
+            "build_optimizer": {"name": "AdamW", "lr": 2.0e-4},
+            "train": {"total_steps": 1000000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    input_dim = 240
+
+    def build_task(self, config: dict):
+        from ..models.mockingjay import MockingjayConfig
+        from ..task.reconstruction import MaskedReconstructionTask
+
+        enc_cfg = MockingjayConfig(
+            input_dim=self.input_dim, **config.get("build_model", {})
+        )
+        module = _mam_model(enc_cfg, self.input_dim)
+        return MaskedReconstructionTask(module, **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainTera(PretrainMockingjay):
+    """MAM + frequency masking on log-mel (pretrain/tera/config_model.yaml)."""
+
+    feature_upstream = "mel"
+    input_dim = 80
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["build_task"]["mask_frequency"] = 0.2
+        return cfg
+
+
+class PretrainAudioAlbert(PretrainTera):
+    """Weight-shared TERA (pretrain/audio_albert/config_model.yaml)."""
+
+    def build_task(self, config: dict):
+        from ..models.mockingjay import MockingjayConfig
+        from ..task.reconstruction import MaskedReconstructionTask
+
+        enc_cfg = MockingjayConfig(
+            input_dim=self.input_dim, share_layer=True, **config.get("build_model", {})
+        )
+        module = _mam_model(enc_cfg, self.input_dim)
+        return MaskedReconstructionTask(module, **config.get("build_task", {}))
+
+
+class PretrainAPC(PretrainProblem):
+    """Autoregressive predictive coding (reference: pretrain/apc)."""
+
+    feature_upstream = "mel"
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "build_model": {"input_size": 80, "hidden_size": 512, "num_layers": 3},
+            "build_task": {"n_future": 5, "loss": "L1"},
+            "build_batch_sampler": {"batch_size": 32},
+            "build_optimizer": {"name": "Adam", "lr": 1.0e-3},
+            "train": {"total_steps": 100000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_task(self, config: dict):
+        from ..models.apc import APCConfig, APCModel
+        from ..task.reconstruction import AutoregressiveReconstructionTask
+
+        cfg = APCConfig(**config.get("build_model", {}))
+
+        class Wrapper(nn.Module):
+            @nn.compact
+            def __call__(self, feats, feat_lens, train=False):
+                hs, pred, lens = APCModel(cfg, name="apc")(feats, feat_lens, train=train)
+                return pred, lens
+
+        return AutoregressiveReconstructionTask(Wrapper(), **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainExample(PretrainTera):
+    """Smoke-test pretraining on pseudo audio (integration-test artifact)."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_train": 8, "num_valid": 4}
+        cfg["build_model"] = {
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+        }
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 2, "save_step": 2}
+        cfg["build_batch_sampler"] = {"batch_size": 4}
+        return cfg
+
+    def prepare_data(self, workspace: Path, config: dict):
+        import numpy as np
+
+        from ..util.pseudo_data import _write_wav
+
+        cfg = config.get("prepare_data", {})
+        rng = np.random.RandomState(0)
+        wav_dir = workspace / "wavs"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        for split, n in [("train", cfg.get("num_train", 8)), ("valid", cfg.get("num_valid", 4))]:
+            rows = []
+            for i in range(n):
+                secs = float(rng.uniform(0.5, 2.0))
+                wav = (rng.randn(int(16000 * secs)) * 0.1).astype(np.float32)
+                path = wav_dir / f"{split}_{i}.wav"
+                _write_wav(path, wav)
+                rows.append(dict(id=f"{split}_{i}", wav_path=str(path), duration=secs))
+            pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)

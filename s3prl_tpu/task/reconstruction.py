@@ -46,9 +46,13 @@ class MaskedReconstructionTask(Task):
     valid_higher_better = False
 
     def init_params(self, key, feats, feat_lens, batch):
+        if feats.ndim == 4:
+            feats = feats[0]
         return self.module.init(key, feats, feat_lens)["params"]
 
     def loss_and_cache(self, params, feats, feat_lens, batch, rng, train):
+        if feats.ndim == 4:  # stacked single-layer upstream output [1,B,T,D]
+            feats = feats[0]
         k_mask, k_drop = jax.random.split(rng)
         masked, label_mask = mam_mask(k_mask, feats, feat_lens, **self.mask_kwargs)
         pred, _ = self.module.apply(
@@ -80,9 +84,13 @@ class AutoregressiveReconstructionTask(Task):
     valid_higher_better = False
 
     def init_params(self, key, feats, feat_lens, batch):
+        if feats.ndim == 4:
+            feats = feats[0]
         return self.module.init(key, feats, feat_lens)["params"]
 
     def loss_and_cache(self, params, feats, feat_lens, batch, rng, train):
+        if feats.ndim == 4:  # stacked single-layer upstream output [1,B,T,D]
+            feats = feats[0]
         pred, _ = self.module.apply(
             {"params": params}, feats, feat_lens, train=train,
             rngs={"dropout": rng} if train else None,

@@ -53,3 +53,20 @@ def test_cli_print_config(capsys):
     main(["CommonExample", "--print_config"])
     out = capsys.readouterr().out
     assert "build_upstream" in out and "target_dir" in out
+
+
+def test_pretrain_example_full_run(tmp_path):
+    """SSL pretraining end-to-end: pseudo audio -> MAM training on-device."""
+    import json
+
+    from s3prl_tpu.problem import PretrainExample
+
+    problem = PretrainExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    lines = (tmp_path / "train" / "metrics.jsonl").read_text().splitlines()
+    losses = [json.loads(l) for l in lines]
+    assert any(l["mode"] == "train" for l in losses)
+    assert all(np.isfinite(l["loss"]) for l in losses)
+    assert list((tmp_path / "train").glob("step_*"))
