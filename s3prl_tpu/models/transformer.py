@@ -35,15 +35,40 @@ class ConvPositionalEmbedding(nn.Module):
     The reference wraps the conv in torch weight_norm; that is a pure
     reparametrization, so converted checkpoints fold it into the kernel and
     from-scratch training uses a plain kernel.
+
+    `depth > 1` builds the data2vec-style stack (wav2vec2_model.py:2995-3022
+    make_conv_block): `depth` blocks of conv(k = max(3, conv_pos//depth)) +
+    same-pad trim + affine-free LayerNorm + GELU.
     """
 
     features: int
     kernel_size: int = 128
     groups: int = 16
+    depth: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.depth > 1:
+            k = max(3, self.kernel_size // self.depth)
+            for i in range(self.depth):
+                pad = k // 2
+                x = nn.Conv(
+                    features=self.features,
+                    kernel_size=(k,),
+                    padding=((pad, pad),),
+                    feature_group_count=self.groups,
+                    dtype=self.dtype,
+                    name=f"conv_{i}",
+                )(x)
+                if k % 2 == 0:
+                    x = x[:, :-1, :]
+                x = nn.LayerNorm(
+                    epsilon=1e-5, use_bias=False, use_scale=False,
+                    dtype=jnp.float32, name=f"ln_{i}",
+                )(x).astype(self.dtype)
+                x = nn.gelu(x, approximate=False)
+            return x
         pad = self.kernel_size // 2
         out = nn.Conv(
             features=self.features,
@@ -164,6 +189,7 @@ class TransformerEncoder(nn.Module):
     activation: str = "gelu"
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    pos_conv_depth: int = 1
     layerdrop: float = 0.0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -180,8 +206,8 @@ class TransformerEncoder(nn.Module):
         if key_padding_mask is not None:
             x = jnp.where(key_padding_mask[..., None], 0.0, x)
         x = x + ConvPositionalEmbedding(
-            self.embed_dim, self.conv_pos, self.conv_pos_groups, self.dtype,
-            name="pos_conv",
+            self.embed_dim, self.conv_pos, self.conv_pos_groups,
+            self.pos_conv_depth, self.dtype, name="pos_conv",
         )(x)
         if not self.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)

@@ -44,6 +44,7 @@ class Wav2Vec2Config:
     layer_norm_first: bool = False
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    pos_conv_depth: int = 1
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.0
@@ -155,6 +156,7 @@ class Wav2Vec2Trunk(nn.Module):
             activation=cfg.activation_fn,
             conv_pos=cfg.conv_pos,
             conv_pos_groups=cfg.conv_pos_groups,
+            pos_conv_depth=cfg.pos_conv_depth,
             layerdrop=cfg.encoder_layerdrop,
             remat=self.remat,
             dtype=self.dtype,

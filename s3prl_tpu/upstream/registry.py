@@ -328,3 +328,69 @@ def npc(**kwargs) -> Upstream:
         "npc", "mel", lambda dtype: NPCModel(cfg),
         cfg.n_blocks, cfg.hidden_size, **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# DistilHuBERT (reference: s3prl/upstream/distiller) and data2vec
+# (reference: s3prl/upstream/data2vec — wav2vec2 trunk + depth-5 pos conv)
+# ---------------------------------------------------------------------------
+
+
+@register("distilhubert")
+@register("distiller")
+def distilhubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
+    from ..models.distiller import DistillerConfig, DistillerModel
+
+    cfg = DistillerConfig()
+    model = DistillerModel(cfg, dtype=dtype)
+    if ckpt is not None:
+        raise NotImplementedError("distiller ckpt conversion lands with the converter pass")
+    logger.info("distilhubert: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = model.init(jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True)["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name="distilhubert", apply_fn=apply_fn, params=params,
+        num_layers=1 + cfg.encoder_layers + cfg.n_tasks,
+        hidden_size=cfg.encoder_embed_dim, downsample_rate=cfg.downsample_rate,
+    )
+
+
+DATA2VEC_BASE = Wav2Vec2Config(
+    extractor_mode="layer_norm",
+    conv_pos=95,
+    pos_conv_depth=5,
+    layer_norm_first=False,
+    normalize=True,
+    dropout=0.0,
+    attention_dropout=0.0,
+    dropout_input=0.0,
+)
+DATA2VEC_LARGE = Wav2Vec2Config(
+    extractor_mode="layer_norm",
+    encoder_layers=24,
+    encoder_embed_dim=1024,
+    encoder_ffn_embed_dim=4096,
+    encoder_attention_heads=16,
+    conv_pos=95,
+    pos_conv_depth=5,
+    layer_norm_first=False,
+    normalize=True,
+    dropout=0.0,
+    attention_dropout=0.0,
+    dropout_input=0.0,
+)
+
+
+@register("data2vec")
+@register("data2vec_base_960")
+def data2vec_base(**kwargs) -> Upstream:
+    return _trunk_upstream("data2vec", DATA2VEC_BASE, **kwargs)
+
+
+@register("data2vec_large_ll60k")
+def data2vec_large(**kwargs) -> Upstream:
+    return _trunk_upstream("data2vec_large", DATA2VEC_LARGE, **kwargs)

@@ -110,3 +110,20 @@ def test_autoregressive_task_with_apc():
     params = task.init_params(jax.random.key(0), feats, lens, {})
     loss, cache = task.loss_and_cache(params, feats, lens, {}, jax.random.key(1), False)
     assert np.isfinite(float(loss))
+
+
+def test_distilhubert_upstream():
+    up = hub.load("distilhubert")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 15  # feat_final + 2 layers + 12 prediction heads
+    assert hs.shape[-1] == 768
+    np.testing.assert_array_equal(np.asarray(h_lens), (lens - 1) // 320 + 1)
+
+
+def test_data2vec_upstream():
+    up = hub.load("data2vec")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 13
+    assert np.isfinite(np.asarray(hs)).all()
