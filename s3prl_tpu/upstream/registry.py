@@ -394,3 +394,76 @@ def data2vec_base(**kwargs) -> Upstream:
 @register("data2vec_large_ll60k")
 def data2vec_large(**kwargs) -> Upstream:
     return _trunk_upstream("data2vec_large", DATA2VEC_LARGE, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# wav2vec 1.0 (conv CPC) and DeCoAR 2.0 (fbank transformer + VQ)
+# ---------------------------------------------------------------------------
+
+
+@register("wav2vec")
+@register("wav2vec_large")
+def wav2vec1(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
+    from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+
+    cfg = Wav2Vec1Config()
+    model = Wav2Vec1Model(cfg, dtype=dtype)
+    if ckpt is not None:
+        raise NotImplementedError("wav2vec1 ckpt conversion lands with the converter pass")
+    logger.info("wav2vec: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = model.init(jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True)["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    n_layers = 1 + (len(cfg.conv_aggregator_layers) - 1) + 1
+    return Upstream(
+        name="wav2vec", apply_fn=apply_fn, params=params,
+        num_layers=n_layers, hidden_size=512, downsample_rate=cfg.downsample_rate,
+    )
+
+
+@register("decoar2")
+def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
+    """DeCoAR 2.0 (reference: s3prl/upstream/decoar2/decoar2.py): kaldi
+    fbank-80 -> Dense(768) -> 12-layer post-LN conv-pos transformer."""
+    import flax.linen as nn
+
+    from ..models.baseline import baseline_features
+    from ..models.transformer import TransformerEncoder
+
+    class Decoar2Model(nn.Module):
+        dt: jnp.dtype = jnp.float32
+
+        @nn.compact
+        def __call__(self, feats, feat_lens, deterministic=True):
+            from ..ops.masking import length_mask
+
+            x = nn.Dense(768, dtype=self.dt, name="post_extract_proj")(feats)
+            x = nn.Dropout(0.1)(x, deterministic=deterministic)
+            pad = ~length_mask(feat_lens, x.shape[1])
+            _, hs = TransformerEncoder(
+                embed_dim=768, ffn_dim=3072, num_layers=12, num_heads=12,
+                layer_norm_first=False, dropout=0.1, attention_dropout=0.1,
+                dtype=self.dt, name="encoder",
+            )(x, pad, deterministic=deterministic)
+            return hs, feat_lens
+
+    model = Decoar2Model(dtype)
+    if ckpt is not None:
+        raise NotImplementedError("decoar2 ckpt conversion lands with the converter pass")
+    logger.info("decoar2: no ckpt given — random initialization")
+    feats = jnp.zeros((1, 98, 80), jnp.float32)
+    params = model.init(jax.random.key(seed), feats, jnp.asarray([98]), deterministic=True)["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        feats, feat_lens = baseline_features(
+            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=False
+        )
+        return model.apply({"params": params}, feats, feat_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name="decoar2", apply_fn=apply_fn, params=params,
+        num_layers=13, hidden_size=768, downsample_rate=160,
+    )

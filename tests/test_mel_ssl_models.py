@@ -127,3 +127,19 @@ def test_data2vec_upstream():
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == 13
     assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_wav2vec1_upstream():
+    up = hub.load("wav2vec")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 13  # z + 11 agg inputs + agg output
+    assert hs.shape[-1] == 512
+    np.testing.assert_array_equal(np.asarray(h_lens), (lens - 1) // 160 + 1)
+
+
+def test_decoar2_upstream():
+    up = hub.load("decoar2")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 13 and hs.shape[-1] == 768
