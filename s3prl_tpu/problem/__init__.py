@@ -1,6 +1,7 @@
 from .base import Problem
 from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import SuperbASR, SuperbPR
+from .asv import AsvExample, SuperbASV
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

@@ -1,0 +1,147 @@
+"""Speaker verification problem (SUPERB ASV).
+
+Behavioral spec from the reference (s3prl/problem/asv/run.py:27 +
+superb_asv.py:134-151): stage 0 VoxCeleb1 train/test CSVs + trial list,
+stage 1 speaker category encoder, stage 2 x-vector + AM-softmax training
+(AdamW 1e-4, grad clip 1e3, accum 5, no mid-train valid), stage 3 extract
+embeddings for every trial utterance and reduce cosine scores to EER/minDCF.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from .common import CommonProblem
+from ..data.collate import Buckets, pad_collate
+from ..data.dataset import UtteranceClassificationDataset
+from ..data.encoder import CategoryEncoder
+from ..data.loader import DataLoader
+from ..nn.speaker import SuperbXvector
+from ..nn.upstream import SUpstream, UpstreamDownstreamModel
+from ..task.speaker_verification import SpeakerVerificationTask
+from ..train.trainer import Trainer, TrainerConfig
+
+logger = logging.getLogger(__name__)
+
+
+class SuperbASV(CommonProblem):
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"voxceleb1": "???"},
+            "build_upstream": {"name": "fbank"},
+            "build_downstream": {"output_size": 512, "hidden_size": 512},
+            "build_batch_sampler": {"batch_size": 10},
+            "build_optimizer": {"name": "AdamW", "lr": 1.0e-4},
+            "train": {
+                "total_steps": 200000,
+                "log_step": 500,
+                "eval_step": 10**9,  # no mid-train valid (superb_asv.py:141)
+                "save_step": 10000,
+                "gradient_clipping": 1000.0,
+                "gradient_accumulate": 5,
+            },
+        }
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.voxceleb1 import prepare_voxceleb1_sv
+
+        return prepare_voxceleb1_sv(workspace, **config.get("prepare_data", {}))
+
+    def build_task(self, upstream: SUpstream, encoder: CategoryEncoder, config: dict):
+        downstream = SuperbXvector(**config.get("build_downstream", {}))
+        module = UpstreamDownstreamModel(
+            downstream=downstream, num_layers=upstream.num_layers,
+            **config.get("build_featurizer", {}),
+        )
+        return SpeakerVerificationTask(module, num_speakers=len(encoder))
+
+    def evaluate_stage(self, workspace: Path, config: dict):
+        """Extract embeddings for test utterances; score the trial list."""
+        encoder = CategoryEncoder.load(workspace / "encoder.json")
+        upstream = self.build_upstream(**config.get("build_upstream", {}))
+        task = self.build_task(upstream, encoder, config)
+        trainer = Trainer(
+            upstream.upstream, task, workspace / "train",
+            TrainerConfig(optimizer=config.get("build_optimizer", {"name": "AdamW", "lr": 1e-4}),
+                          **config.get("train", {})),
+        )
+        ds = UtteranceClassificationDataset(workspace / "test.csv", encoder)
+        loader = self._loader(workspace, "test.csv", encoder, "test", config)
+        first = next(iter(loader))
+        trainer.init(first, resume=False)
+        from ..train import checkpoint as ckpt
+
+        load_dir = ckpt.latest_checkpoint(workspace / "train")
+        if load_dir is not None:
+            trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
+
+        import jax
+
+        emb_by_name = {}
+        for batch in loader:
+            from ..train.trainer import _split_batch
+
+            device, host = _split_batch(batch)
+            hs, h_lens = trainer.upstream(device["x"], device["x_len"])
+            emb = task._embed(trainer.params, hs, h_lens)
+            emb = np.asarray(emb)
+            for i, name in enumerate(host["unique_name"]):
+                emb_by_name[name] = emb[i]
+
+        trials_df = pd.read_csv(workspace / "trials.csv")
+        # trial names use 'spk/session/utt.wav' paths; test.csv ids replace '/'
+        trials = [
+            (int(r["label"]), r["enroll"].replace("/", "-"), r["test"].replace("/", "-"))
+            for _, r in trials_df.iterrows()
+        ]
+        logs = SpeakerVerificationTask.score_trials(emb_by_name, trials)
+        with open(workspace / "result.yaml", "w") as f:
+            yaml.safe_dump({"test": logs}, f)
+        return {"test": logs}
+
+
+class AsvExample(SuperbASV):
+    """Smoke-test ASV on pseudo speakers (integration-test artifact)."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_speakers": 3, "utts_per_speaker": 4}
+        cfg["build_downstream"] = {"output_size": 32, "hidden_size": 32, "aggregation_size": 64}
+        cfg["build_batch_sampler"] = {"batch_size": 4}
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 10**9, "save_step": 2}
+        return cfg
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..util.pseudo_data import _write_wav
+
+        cfg = config.get("prepare_data", {})
+        rng = np.random.RandomState(0)
+        wav_dir = workspace / "wavs"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        rows_train, rows_test = [], []
+        n_spk = cfg.get("num_speakers", 3)
+        n_utt = cfg.get("utts_per_speaker", 4)
+        for s in range(n_spk):
+            for u in range(n_utt):
+                wav = (rng.randn(int(16000 * rng.uniform(0.5, 1.5))) * 0.1).astype(np.float32)
+                path = wav_dir / f"spk{s}_utt{u}.wav"
+                _write_wav(path, wav)
+                row = dict(id=f"spk{s}-utt{u}", wav_path=str(path), label=f"spk{s}")
+                (rows_test if u >= n_utt - 2 else rows_train).append(row)
+        pd.DataFrame(rows_train).to_csv(workspace / "train.csv", index=False)
+        pd.DataFrame(rows_test).to_csv(workspace / "test.csv", index=False)
+        trials = []
+        test_ids = [r["id"].replace("-", "/") for r in rows_test]
+        for i, a in enumerate(test_ids):
+            for b in test_ids[i + 1:]:
+                label = int(a.split("/")[0] == b.split("/")[0])
+                trials.append((label, a, b))
+        pd.DataFrame(trials, columns=["label", "enroll", "test"]).to_csv(
+            workspace / "trials.csv", index=False
+        )

@@ -70,3 +70,16 @@ def test_pretrain_example_full_run(tmp_path):
     assert any(l["mode"] == "train" for l in losses)
     assert all(np.isfinite(l["loss"]) for l in losses)
     assert list((tmp_path / "train").glob("step_*"))
+
+
+def test_asv_example_full_run(tmp_path):
+    """ASV end-to-end: x-vector + AM-softmax training, trial scoring."""
+    from s3prl_tpu.problem import AsvExample
+
+    problem = AsvExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["eer"] <= 1.0
+    assert logs["minDCF"] >= 0.0
