@@ -101,3 +101,19 @@ class Speech2TextDataset(_CsvDataset):
             "labels": text,
             "unique_name": str(row["id"]),
         }
+
+
+class DiarizationChunkDataset(_CsvDataset):
+    """Chunked frame-label dataset for SD (reference: dataio/dataset/
+    frame_label.py FrameLabelDataset): each row is a fixed window of a
+    recording with an .npy [T, num_spk] activity label."""
+
+    def __getitem__(self, i: int) -> dict:
+        row = self.df.iloc[i]
+        label = np.load(row["label_path"]).astype(np.int32)
+        return {
+            "x": self._load_wav(row),
+            "label": label,
+            "unique_name": str(row["id"]),
+            "group": str(row["reco"]),
+        }

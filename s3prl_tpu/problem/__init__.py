@@ -2,6 +2,7 @@ from .base import Problem
 from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import SuperbASR, SuperbPR
 from .asv import AsvExample, SuperbASV
+from .diarization import SdExample, SuperbSD
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

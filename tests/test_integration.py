@@ -83,3 +83,16 @@ def test_asv_example_full_run(tmp_path):
     logs = results["evaluate_stage"]["test"]
     assert 0.0 <= logs["eer"] <= 1.0
     assert logs["minDCF"] >= 0.0
+
+
+def test_sd_example_full_run(tmp_path):
+    """SD end-to-end: kaldi-style dirs -> frame labels -> PIT training -> DER."""
+    from s3prl_tpu.problem import SdExample
+
+    problem = SdExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert logs["der"] >= 0.0
+    assert np.isfinite(logs["loss"])
