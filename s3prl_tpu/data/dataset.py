@@ -117,3 +117,24 @@ class DiarizationChunkDataset(_CsvDataset):
             "unique_name": str(row["id"]),
             "group": str(row["reco"]),
         }
+
+
+class SlotFillingDataset(_CsvDataset):
+    """IOB-tagged transcripts for SF (reference: superb_sf data pipeline)."""
+
+    def __init__(self, csv_path, tokenizer, sample_rate: int = SAMPLE_RATE):
+        super().__init__(csv_path, sample_rate)
+        self.tokenizer = tokenizer
+
+    def __getitem__(self, i: int) -> dict:
+        row = self.df.iloc[i]
+        sent, iob = str(row["transcription"]), str(row["iob"])
+        ids = np.asarray(self.tokenizer.encode_iob(sent, iob), np.int32)
+        # host-side reference text in slot markup for metric computation
+        ref = self.tokenizer.decode(ids.tolist())
+        return {
+            "x": self._load_wav(row),
+            "class_ids": ids,
+            "labels": ref,
+            "unique_name": str(row["id"]),
+        }

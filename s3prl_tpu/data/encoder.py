@@ -179,4 +179,94 @@ def load_tokenizer(path) -> Tokenizer:
     Tokenizer.__init__(tok, [])
     tok.tokens = data["tokens"]
     tok._index = {t: i for i, t in enumerate(tok.tokens)}
+    if data["type"] == "CharacterSlotTokenizer":
+        tok.slots = [t for t in tok.tokens if t.startswith(("B-", "E-"))]
     return tok
+
+
+class CharacterSlotTokenizer(Tokenizer):
+    """Character tokenizer with interleaved slot boundary tokens (SUPERB SF).
+
+    Behavioral spec from the reference (dataio/encoder/tokenizer.py:149-253):
+    characters plus B-<slot>/E-<slot> tokens wrapping slot word spans; decode
+    renders "B-type value E-type" markup (consumed by metric.slot_filling).
+    """
+
+    SPACE = "<space>"
+
+    def __init__(self, vocab: List[str], slots: List[str]):
+        super().__init__(vocab)
+        self.slots = []
+        for slot in slots:
+            if slot == "O":
+                continue
+            self.slots.extend([f"B-{slot}", f"E-{slot}"])
+        self._slot_base = len(self.tokens)
+        for i, s in enumerate(self.slots):
+            self._index[s] = self._slot_base + i
+        self.tokens = self.tokens + self.slots
+
+    @staticmethod
+    def _norm_tag(tag: str) -> str:
+        # accept both bare slot names (the reference's layout) and
+        # IOB-prefixed tags; adjacent same-slot words merge into one span
+        return tag[2:] if tag[:2] in ("B-", "I-") else tag
+
+    def encode_iob(self, sent: str, iobs: str) -> List[int]:
+        words = sent.strip().upper().split()
+        tags = [self._norm_tag(t) for t in iobs.strip().split()]
+        if words and words[0] == "BOS":
+            words, tags = words[1:], tags[1:]
+        if words and words[-1] == "EOS":
+            words, tags = words[:-1], tags[:-1]
+        assert len(words) == len(tags), (sent, iobs)
+        ids: List[int] = []
+        for i, (word, tag) in enumerate(zip(words, tags)):
+            if tag != "O" and (i == 0 or tags[i - 1] != tag):
+                ids.append(self._index[f"B-{tag}"])
+            ids.extend(self._index.get(c, self.unk_idx) for c in word)
+            if tag != "O" and (i == len(words) - 1 or tags[i + 1] != tag):
+                ids.append(self._index[f"E-{tag}"])
+            if i < len(words) - 1:
+                ids.append(self._index[self.SPACE])
+        return ids
+
+    def encode(self, text: str) -> List[int]:  # plain text fallback
+        return [self._index.get(self.SPACE if c == " " else c, self.unk_idx)
+                for c in text.strip().upper()]
+
+    def decode(self, ids: List[int], ignore_repeat: bool = False) -> str:
+        parts = []
+        prev = None
+        for i in ids:
+            if ignore_repeat and i == prev:
+                continue
+            prev = i
+            if i < len(self.SPECIALS):
+                continue
+            tok = self.tokens[i]
+            if tok == self.SPACE:
+                parts.append(" ")
+            elif tok.startswith("B-"):
+                parts.append(tok + " ")
+            elif tok.startswith("E-") and tok in self.slots:
+                parts.append(" " + tok)
+            else:
+                parts.append(tok)
+        return "".join(parts).strip()
+
+    @classmethod
+    def from_text(cls, sents: Iterable[str], iob_tags: Iterable[str]) -> "CharacterSlotTokenizer":
+        counter = Counter()
+        slot_set = set()
+        for sent, iobs in zip(sents, iob_tags):
+            words = sent.strip().upper().split()
+            counter.update(c for w in words for c in w)
+            slot_set.update(
+                cls._norm_tag(t) for t in iobs.strip().split() if t not in ("O",)
+            )
+        vocab = [cls.SPACE] + [c for c, _ in sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))]
+        return cls(vocab, sorted(slot_set))
+
+
+TOKENIZER_TYPES["CharacterSlotTokenizer"] = CharacterSlotTokenizer

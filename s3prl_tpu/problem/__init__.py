@@ -1,6 +1,6 @@
 from .base import Problem
 from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
-from .asr import SuperbASR, SuperbPR
+from .asr import SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD
 from .pretrain import (

@@ -161,3 +161,47 @@ class SuperbPR(SuperbASR):
         )
         tokenizer.save(workspace / "tokenizer.json")
         return tokenizer
+
+
+class SuperbSF(SuperbASR):
+    """Slot filling on Audio SNIPS (reference: problem/asr/superb_sf.py):
+    character+slot CTC; slot-type F1 and slot-value CER reduction."""
+
+    metric = "slot_type_f1"
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"snips": "???"}
+        return cfg
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.snips import prepare_snips
+
+        return prepare_snips(workspace, **config.get("prepare_data", {}))
+
+    def build_encoder(self, workspace: Path, config: dict):
+        from ..data.encoder import CharacterSlotTokenizer
+
+        df = pd.read_csv(workspace / "train.csv")
+        tokenizer = CharacterSlotTokenizer.from_text(
+            df["transcription"].astype(str), df["iob"].astype(str)
+        )
+        tokenizer.save(workspace / "tokenizer.json")
+        return tokenizer
+
+    def build_dataset(self, csv_path, tokenizer):
+        from ..data.dataset import SlotFillingDataset
+
+        return SlotFillingDataset(csv_path, tokenizer)
+
+    def build_task(self, upstream: SUpstream, tokenizer, config: dict):
+        from ..task.speech2text_ctc import SlotFillingCTCTask
+
+        downstream = self.build_downstream(
+            output_size=tokenizer.vocab_size, **config.get("build_downstream", {})
+        )
+        module = UpstreamDownstreamModel(
+            downstream=downstream, num_layers=upstream.num_layers,
+            **config.get("build_featurizer", {}),
+        )
+        return SlotFillingCTCTask(module, tokenizer)

@@ -73,3 +73,31 @@ class Speech2TextCTCTask(Task):
         if self.metric == "per":
             out["per"] = per(hyps, refs)
         return out
+
+
+class SlotFillingCTCTask(Speech2TextCTCTask):
+    """SF variant: adds slot-type F1 / slot-value CER+WER to the reduction
+    (reference: task/speech2text_ctc_task.py used with the slot tokenizer +
+    metric/slot_filling.py)."""
+
+    def __init__(self, module, tokenizer):
+        super().__init__(module, tokenizer, metric="slot_type_f1")
+
+    valid_higher_better = True
+
+    def reduction(self, mode, records):
+        from ..metric.slot_filling import slot_type_f1, slot_value_cer, slot_value_wer
+
+        hyps, refs, losses = [], [], []
+        for r in records:
+            preds, lens = r["prediction"], r["prediction_len"]
+            for b in range(len(preds)):
+                hyps.append(self._decode(np.asarray(preds[b]), int(lens[b])))
+            refs.extend(r["labels"])
+            losses.append(float(r["loss"]))
+        return {
+            "loss": float(np.mean(losses)),
+            "slot_type_f1": slot_type_f1(hyps, refs),
+            "slot_value_cer": slot_value_cer(hyps, refs),
+            "slot_value_wer": slot_value_wer(hyps, refs),
+        }

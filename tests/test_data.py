@@ -104,3 +104,20 @@ def test_eer_separable():
     # fully random
     eer2, _ = compute_eer([1, 0, 1, 0], [0.6, 0.6, 0.4, 0.4])
     assert 0.0 <= eer2 <= 1.0
+
+
+def test_slot_tokenizer_roundtrip():
+    from s3prl_tpu.data.encoder import CharacterSlotTokenizer
+
+    sents = ["play some music", "turn on the light"]
+    iobs = ["O O B-genre", "O O O B-device"]
+    tok = CharacterSlotTokenizer.from_text(sents, iobs)
+    ids = tok.encode_iob("play some music", "O O B-genre")
+    text = tok.decode(ids)
+    assert "B-B-genre" not in text
+    assert "B-genre" in text and "E-genre" in text
+    assert "MUSIC" in text
+    # parses with the slot metric
+    from s3prl_tpu.metric.slot_filling import slot_type_f1
+
+    assert slot_type_f1([text], [text]) == 1.0
