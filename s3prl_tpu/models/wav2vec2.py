@@ -139,6 +139,15 @@ class Wav2Vec2Trunk(nn.Module):
             jnp.float32,
         )
         if mask_indices is not None:
+            # tolerate off-by-a-few length mismatch between an externally
+            # computed mask (e.g. from unit-label length) and conv output
+            t = features.shape[1]
+            if mask_indices.shape[1] < t:
+                mask_indices = jnp.pad(
+                    mask_indices, ((0, 0), (0, t - mask_indices.shape[1]))
+                )
+            elif mask_indices.shape[1] > t:
+                mask_indices = mask_indices[:, :t]
             features = jnp.where(
                 mask_indices[..., None], mask_emb.astype(self.dtype), features
             )

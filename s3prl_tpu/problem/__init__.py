@@ -7,6 +7,8 @@ from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,
     PretrainExample,
+    PretrainHubert,
+    PretrainHubertExample,
     PretrainMockingjay,
     PretrainTera,
 )

@@ -257,3 +257,142 @@ class PretrainExample(PretrainTera):
                 _write_wav(path, wav)
                 rows.append(dict(id=f"{split}_{i}", wav_path=str(path), duration=secs))
             pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)
+
+
+class _HubertUnitDataset:
+    """Audio + frame-level k-means unit labels (csv: wav_path, units_path)."""
+
+    def __init__(self, csv_path, sample_rate=16000, max_secs: float = 15.0):
+        import numpy as np
+
+        self.df = pd.read_csv(csv_path)
+        self.sample_rate = sample_rate
+        self.max_secs = max_secs
+
+    def __len__(self):
+        return len(self.df)
+
+    @property
+    def lengths(self):
+        return (
+            self.df["duration"].clip(upper=self.max_secs) * self.sample_rate
+        ).astype(int).tolist()
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        from ..data.audio import load_wav
+
+        row = self.df.iloc[i]
+        wav, _ = load_wav(row["wav_path"], self.sample_rate, 0.0, self.max_secs)
+        units = np.load(row["units_path"]).astype(np.int32)
+        return {"x": wav, "units": units, "unique_name": str(row["id"])}
+
+
+class PretrainHubert(PretrainProblem):
+    """HuBERT masked-unit pretraining (reference: the fairseq recipe the
+    converted hubert ckpts come from; loss per hubert_model.py:465-560).
+
+    prepare_data must produce train/valid CSVs with `units_path` pointing to
+    per-utterance [T_feat] k-means labels at the 20 ms frame rate.
+    """
+
+    feature_upstream = "wav"
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "units_dir": "???"},
+            "build_model": {},
+            "build_task": {"mask_prob": 0.8, "mask_length": 10},
+            "build_batch_sampler": {"batch_size": 8},
+            "build_optimizer": {"name": "AdamW", "lr": 5.0e-4, "scheduler": "linear_schedule"},
+            "train": {"total_steps": 400000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_task(self, config: dict):
+        from ..models.hubert import HUBERT_BASE, HubertForPretrain, HubertPretrainConfig
+
+        model_cfg = dict(config.get("build_model", {}))
+        num_classes = model_cfg.pop("num_classes", 504)
+        module = HubertForPretrain(
+            cfg=HUBERT_BASE, pre_cfg=HubertPretrainConfig(num_classes=num_classes),
+            **model_cfg,
+        )
+        from ..task.hubert_pretrain import HubertPretrainTask
+
+        return HubertPretrainTask(module, **config.get("build_task", {}))
+
+    def _loader(self, workspace, csv_name, config):
+        csv_path = workspace / csv_name
+        if not csv_path.exists():
+            return None
+        ds = _HubertUnitDataset(csv_path, max_secs=config.get("max_secs", 15.0))
+        cfg = config.get("build_batch_sampler", {})
+        from ..data.sampler import SortedBucketingSampler
+
+        sampler = SortedBucketingSampler(
+            ds.lengths, batch_size=cfg.get("batch_size", 8),
+            max_length=cfg.get("max_length", 16000 * 15), shuffle=True,
+        )
+        buckets = Buckets.linear(config.get("bucket_step", 16000), 16000 * 30)
+        return DataLoader(ds, sampler, lambda items: pad_collate(items, buckets))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        raise NotImplementedError(
+            "provide LibriSpeech CSVs + precomputed k-means units (units_dir)"
+        )
+
+
+class PretrainHubertExample(PretrainHubert):
+    """Smoke-test HuBERT pretraining: pseudo audio + random units, tiny trunk."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_train": 6, "num_valid": 2}
+        cfg["build_model"] = {"num_classes": 16}
+        cfg["build_batch_sampler"] = {"batch_size": 2}
+        cfg["train"] = {"total_steps": 2, "log_step": 1, "eval_step": 10**9, "save_step": 2}
+        return cfg
+
+    def build_task(self, config: dict):
+        from ..models.hubert import HubertForPretrain, HubertPretrainConfig
+        from ..models.wav2vec2 import Wav2Vec2Config
+        from ..task.hubert_pretrain import HubertPretrainTask
+
+        tiny = Wav2Vec2Config(
+            conv_feature_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4), (32, 2, 2), (32, 2, 2)),
+            encoder_layers=2, encoder_embed_dim=32,
+            encoder_ffn_embed_dim=64, encoder_attention_heads=4,
+            dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+        )
+        module = HubertForPretrain(
+            cfg=tiny, pre_cfg=HubertPretrainConfig(num_classes=16, final_dim=16)
+        )
+        return HubertPretrainTask(module, **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        import numpy as np
+
+        from ..util.pseudo_data import _write_wav
+
+        cfg = config.get("prepare_data", {})
+        rng = np.random.RandomState(0)
+        wav_dir = workspace / "wavs"
+        unit_dir = workspace / "units"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        unit_dir.mkdir(parents=True, exist_ok=True)
+        for split, n in [("train", cfg.get("num_train", 6)), ("valid", cfg.get("num_valid", 2))]:
+            rows = []
+            for i in range(n):
+                secs = float(rng.uniform(0.5, 1.5))
+                wav = (rng.randn(int(16000 * secs)) * 0.1).astype(np.float32)
+                wav_path = wav_dir / f"{split}_{i}.wav"
+                _write_wav(wav_path, wav)
+                n_feat = len(wav) // 320
+                units = rng.randint(0, 16, size=n_feat).astype(np.int32)
+                units_path = unit_dir / f"{split}_{i}.npy"
+                np.save(units_path, units)
+                rows.append(dict(id=f"{split}_{i}", wav_path=str(wav_path),
+                                 units_path=str(units_path), duration=secs))
+            pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)

@@ -105,9 +105,11 @@ def _trunk_upstream(
     else:
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
-        params = model.init(
-            jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True
-        )["params"]
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # pathological over remote-execution backends (the axon tunnel)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply(
@@ -166,9 +168,11 @@ def _wavlm_upstream(name, default_cfg, ckpt=None, dtype=jnp.float32, seed=0, rem
         model = WavLMModel(cfg, dtype=dtype, remat=remat)
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
-        params = model.init(
-            jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True
-        )["params"]
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # pathological over remote-execution backends (the axon tunnel)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply(
@@ -254,8 +258,11 @@ def _feat_encoder_upstream(name, feat_kind, build_model, num_layers, hidden,
         wavs = jnp.zeros((1, 16000), jnp.float32)
         feats, feat_lens = feat_fn(wavs, jnp.asarray([16000]))
         rngs = {"params": jax.random.key(seed), "gumbel": jax.random.key(seed + 1)}
-        # keep ALL variable collections (NPC carries batch_stats)
-        variables = model.init(rngs, feats, feat_lens, **mode_kw(False))
+        # keep ALL variable collections (NPC carries batch_stats); jit the
+        # init to avoid per-op dispatch over remote backends
+        variables = jax.jit(
+            lambda r: model.init(r, feats, feat_lens, **mode_kw(False))
+        )(rngs)
 
     return Upstream(
         name=name, apply_fn=apply_fn, params=variables,
@@ -347,7 +354,9 @@ def distilhubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
         raise NotImplementedError("distiller ckpt conversion lands with the converter pass")
     logger.info("distilhubert: no ckpt given — random initialization")
     probe = jnp.zeros((1, 16000), jnp.float32)
-    params = model.init(jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True)["params"]
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
@@ -412,7 +421,9 @@ def wav2vec1(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
         raise NotImplementedError("wav2vec1 ckpt conversion lands with the converter pass")
     logger.info("wav2vec: no ckpt given — random initialization")
     probe = jnp.zeros((1, 16000), jnp.float32)
-    params = model.init(jax.random.key(seed), probe, jnp.asarray([16000]), deterministic=True)["params"]
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
@@ -455,7 +466,9 @@ def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
         raise NotImplementedError("decoar2 ckpt conversion lands with the converter pass")
     logger.info("decoar2: no ckpt given — random initialization")
     feats = jnp.zeros((1, 98, 80), jnp.float32)
-    params = model.init(jax.random.key(seed), feats, jnp.asarray([98]), deterministic=True)["params"]
+    params = jax.jit(
+        lambda k: model.init(k, feats, jnp.asarray([98]), deterministic=True)
+    )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         feats, feat_lens = baseline_features(
@@ -466,4 +479,21 @@ def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
     return Upstream(
         name="decoar2", apply_fn=apply_fn, params=params,
         num_layers=13, hidden_size=768, downsample_rate=160,
+    )
+
+
+@register("wav")
+def wav_passthrough(**kwargs) -> Upstream:
+    """Identity upstream: exposes the raw waveform as a single 'layer'.
+
+    Used by tasks that own the full model (e.g. HuBERT pretraining, where
+    the trunk lives inside the task module and consumes the wav directly).
+    """
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return wavs[None, :, :, None], wav_lens
+
+    return Upstream(
+        name="wav", apply_fn=apply_fn, params={},
+        num_layers=1, hidden_size=1, downsample_rate=1,
     )

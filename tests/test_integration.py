@@ -96,3 +96,19 @@ def test_sd_example_full_run(tmp_path):
     logs = results["evaluate_stage"]["test"]
     assert logs["der"] >= 0.0
     assert np.isfinite(logs["loss"])
+
+
+def test_hubert_pretrain_example(tmp_path):
+    """HuBERT masked-unit pretraining end-to-end on pseudo audio + units."""
+    import json
+
+    from s3prl_tpu.problem import PretrainHubertExample
+
+    problem = PretrainHubertExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    lines = (tmp_path / "train" / "metrics.jsonl").read_text().splitlines()
+    logs = [json.loads(l) for l in lines]
+    assert logs and all(np.isfinite(l["loss"]) for l in logs)
+    assert all(0.0 <= l.get("masked_acc", 0.0) <= 1.0 for l in logs)
