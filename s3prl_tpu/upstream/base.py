@@ -45,9 +45,10 @@ def match_length_stacked(hs: jnp.ndarray, target_len: int) -> jnp.ndarray:
     if cur == target_len:
         return hs
     if cur > target_len:
-        assert cur // target_len == 1, f"{cur} vs {target_len}"
         return hs[..., :target_len, :]
-    assert target_len // cur == 1, f"{target_len} vs {cur}"
+    # repeat the last frame; the reference asserts a <2x ratio here, but its
+    # own API outliers (vggish & co, test_upstream.py:152-184 skip list) can
+    # exceed it — repeat-filling covers them too
     reps = [1] * hs.ndim
     reps[-2] = target_len - cur
     pad = jnp.tile(hs[..., -1:, :], reps)

@@ -497,3 +497,132 @@ def wav_passthrough(**kwargs) -> Upstream:
         name="wav", apply_fn=apply_fn, params={},
         num_layers=1, hidden_size=1, downsample_rate=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Small / wrapper upstreams: log_stft, spec_augment, example template,
+# UniSpeech-SAT (WavLM-architecture), VGGish, BYOL-A.
+# ---------------------------------------------------------------------------
+
+
+@register("log_stft")
+def log_stft(**kwargs) -> Upstream:
+    """log-STFT-magnitude front-end (reference: s3prl/upstream/log_stft)."""
+    from ..ops import audio as audio_ops
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        spec, lens = audio_ops.stft_spectrogram(wavs, wav_lens)
+        return jnp.log(spec + 1e-10)[None], lens
+
+    return Upstream(
+        name="log_stft", apply_fn=apply_fn, params={},
+        num_layers=1, hidden_size=201, downsample_rate=160,
+    )
+
+
+@register("spec_augment")
+def spec_augment_upstream(seed: int = 0, **kwargs) -> Upstream:
+    """Feature-domain SpecAugment 'upstream' wrapper (reference:
+    s3prl/upstream/spec_augment/builder.py): fbank features with specaug
+    applied in train mode."""
+    from ..models.baseline import baseline_features
+    from ..nn.specaug import specaug
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        feats, lens = baseline_features(
+            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=2, cmvn=True
+        )
+        if train:
+            key = (rngs or {}).get("specaug", jax.random.key(seed))
+            feats = specaug(key, feats, lens)
+        return feats[None], lens
+
+    return Upstream(
+        name="spec_augment", apply_fn=apply_fn, params={},
+        num_layers=1, hidden_size=240, downsample_rate=160,
+    )
+
+
+@register("example")
+def example_upstream(**kwargs) -> Upstream:
+    """The contributor template (reference: s3prl/upstream/example/expert.py):
+    a minimal linear layer over log-mel showing the upstream contract."""
+    import flax.linen as nn
+
+    from ..ops import audio as audio_ops
+
+    class ExampleModel(nn.Module):
+        @nn.compact
+        def __call__(self, feats, lens):
+            return nn.Dense(64, name="linear")(feats)[None], lens
+
+    model = ExampleModel()
+    feats = jnp.zeros((1, 101, 80), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, feats, jnp.asarray([101])))(
+        jax.random.key(0)
+    )["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        mel, lens = audio_ops.log_mel(wavs, wav_lens, n_mels=80)
+        return model.apply({"params": params}, mel, lens)
+
+    return Upstream(
+        name="example", apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=64, downsample_rate=160,
+    )
+
+
+@register("unispeech_sat")
+@register("unispeech_sat_base")
+def unispeech_sat(**kwargs) -> Upstream:
+    """UniSpeech-SAT shares WavLM's gated rel-pos-bias architecture
+    (reference: s3prl/upstream/unispeech_sat — the vendored modules are the
+    WavLM blocks)."""
+    from ..models.wavlm import WAVLM_BASE
+
+    return _wavlm_upstream("unispeech_sat", WAVLM_BASE, **kwargs)
+
+
+@register("unispeech_sat_large")
+def unispeech_sat_large(**kwargs) -> Upstream:
+    from ..models.wavlm import WAVLM_LARGE
+
+    return _wavlm_upstream("unispeech_sat_large", WAVLM_LARGE, **kwargs)
+
+
+@register("vggish")
+def vggish(seed: int = 0, **kwargs) -> Upstream:
+    from ..models.audio_cnn import VGGishCNN, vggish_forward
+
+    model = VGGishCNN()
+    patches = jnp.zeros((1, 1, 96, 64), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, patches))(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return vggish_forward(model, params, wavs, wav_lens)
+
+    return Upstream(
+        name="vggish", apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=128, downsample_rate=96 * 160,
+    )
+
+
+@register("byol_a")
+def byol_a(seed: int = 0, **kwargs) -> Upstream:
+    from ..models.audio_cnn import ByolAConfig, ByolAEncoder
+    from ..ops import audio as audio_ops
+
+    cfg = ByolAConfig()
+    model = ByolAEncoder(cfg)
+    mel = jnp.zeros((1, 100, cfg.n_mels), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, mel))(jax.random.key(seed))
+
+    def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
+        mel, lens = audio_ops.log_mel(wavs, wav_lens, n_mels=cfg.n_mels)
+        out = model.apply(variables, mel)
+        return out[None], lens // 4
+
+    return Upstream(
+        name="byol_a", apply_fn=apply_fn, params=variables,
+        num_layers=1, hidden_size=cfg.feature_d, downsample_rate=160 * 4,
+    )

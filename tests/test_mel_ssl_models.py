@@ -143,3 +143,15 @@ def test_decoar2_upstream():
     wavs, lens = pseudo_batch([0.6, 0.4])
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == 13 and hs.shape[-1] == 768
+
+
+@pytest.mark.parametrize("name", ["log_stft", "spec_augment", "example", "vggish", "byol_a"])
+def test_small_upstreams(name):
+    up = hub.load(name)
+    wavs, lens = pseudo_batch([1.2, 0.9])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 1
+    assert np.isfinite(np.asarray(hs)).all()
+    np.testing.assert_array_equal(
+        np.asarray(h_lens), (lens - 1) // up.downsample_rate + 1
+    )
