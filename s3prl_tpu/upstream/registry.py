@@ -626,3 +626,46 @@ def byol_a(seed: int = 0, **kwargs) -> Upstream:
         name="byol_a", apply_fn=apply_fn, params=variables,
         num_layers=1, hidden_size=cfg.feature_d, downsample_rate=160 * 4,
     )
+
+
+# ---------------------------------------------------------------------------
+# AST family (spectrogram transformers): ssast patch/frame, ast, mae_ast
+# ---------------------------------------------------------------------------
+
+
+def _ast_upstream(name, cfg, ckpt=None, dtype=jnp.float32, seed=0, **kwargs):
+    from ..models.ast import ASTEncoder, ast_windows_forward
+
+    model = ASTEncoder(cfg, dtype=dtype)
+    if ckpt is not None:
+        raise NotImplementedError("AST ckpt conversion lands with the converter pass")
+    logger.info(f"{name}: no ckpt given — random initialization")
+    fb = jnp.zeros((1, cfg.input_tdim, cfg.input_fdim), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, fb, deterministic=True))(
+        jax.random.key(seed)
+    )["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return ast_windows_forward(model, params, wavs, wav_lens, cfg, deterministic=not train)
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=cfg.depth + 1, hidden_size=cfg.embed_dim,
+        downsample_rate=160 * cfg.tstride,
+    )
+
+
+@register("ssast_patch_base")
+@register("ast")
+def ssast_patch(**kwargs) -> Upstream:
+    from ..models.ast import SSAST_PATCH
+
+    return _ast_upstream("ssast_patch", SSAST_PATCH, **kwargs)
+
+
+@register("ssast_frame_base")
+@register("mae_ast")
+def ssast_frame(**kwargs) -> Upstream:
+    from ..models.ast import SSAST_FRAME
+
+    return _ast_upstream("ssast_frame", SSAST_FRAME, **kwargs)

@@ -155,3 +155,13 @@ def test_small_upstreams(name):
     np.testing.assert_array_equal(
         np.asarray(h_lens), (lens - 1) // up.downsample_rate + 1
     )
+
+
+@pytest.mark.parametrize("name,stride", [("ssast_patch_base", 1600), ("ssast_frame_base", 320)])
+def test_ast_upstreams(name, stride):
+    up = hub.load(name)
+    assert up.downsample_rate == stride
+    wavs, lens = pseudo_batch([1.5, 1.0])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 13 and hs.shape[-1] == 768
+    assert np.isfinite(np.asarray(hs)).all()
