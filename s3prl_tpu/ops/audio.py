@@ -435,3 +435,64 @@ def log_mel(
     fb = jnp.asarray(mel_scale_matrix(spec.shape[-1], n_mels, sample_rate))
     mel = spec @ fb
     return jnp.log(mel + eps), feat_lens
+
+
+# ---------------------------------------------------------------------------
+# complex STFT / iSTFT (for enhancement & separation reconstruction paths;
+# reference tasks: s3prl/downstream/enhancement_stft, separation_stft)
+# ---------------------------------------------------------------------------
+
+
+def stft_complex(
+    wavs: jnp.ndarray,
+    *,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+):
+    """Center-padded hann STFT, complex output [B, F, n_fft//2+1]."""
+    if wavs.ndim == 1:
+        wavs = wavs[None]
+    pad = n_fft // 2
+    x = jnp.pad(wavs, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_wavs(x, n_fft, hop_length)
+    win = np.zeros(n_fft, dtype=np.float32)
+    n = np.arange(win_length)
+    hann = (0.5 - 0.5 * np.cos(2 * np.pi * n / win_length)).astype(np.float32)
+    start = (n_fft - win_length) // 2
+    win[start : start + win_length] = hann
+    return jnp.fft.rfft(frames * jnp.asarray(win), axis=-1)
+
+
+def istft(
+    spec: jnp.ndarray,  # [B, F, n_fft//2+1] complex
+    *,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+    length: Optional[int] = None,
+):
+    """Inverse STFT with hann-window overlap-add + COLA normalization."""
+    B, F, _ = spec.shape
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, F, n_fft]
+    win = np.zeros(n_fft, dtype=np.float32)
+    n = np.arange(win_length)
+    hann = (0.5 - 0.5 * np.cos(2 * np.pi * n / win_length)).astype(np.float32)
+    start = (n_fft - win_length) // 2
+    win[start : start + win_length] = hann
+    winj = jnp.asarray(win)
+    frames = frames * winj
+
+    total = n_fft + hop_length * (F - 1)
+    idx = (np.arange(F)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
+    out = jnp.zeros((B, total), frames.dtype)
+    out = out.at[:, jnp.asarray(idx)].add(frames.reshape(B, -1))
+    norm = jnp.zeros((total,), frames.dtype)
+    norm = norm.at[jnp.asarray(idx)].add(jnp.tile(winj ** 2, (F,)))
+    out = out / jnp.maximum(norm, 1e-8)[None]
+
+    pad = n_fft // 2
+    out = out[:, pad:]
+    if length is not None:
+        out = out[:, :length]
+    return out
