@@ -669,3 +669,52 @@ def ssast_frame(**kwargs) -> Upstream:
     from ..models.ast import SSAST_FRAME
 
     return _ast_upstream("ssast_frame", SSAST_FRAME, **kwargs)
+
+
+@register("cpc")
+@register("modified_cpc")
+def cpc(ckpt=None, seed=0, **kwargs) -> Upstream:
+    from ..models.cpc import CPCConfig, CPCModel
+
+    cfg = CPCConfig()
+    model = CPCModel(cfg)
+    if ckpt is not None:
+        raise NotImplementedError("cpc ckpt conversion lands with the converter pass")
+    logger.info("cpc: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), train=False)
+    )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, train=train, rngs=rngs)
+
+    return Upstream(
+        name="cpc", apply_fn=apply_fn, params=params,
+        num_layers=2, hidden_size=cfg.ar_size, downsample_rate=160,
+    )
+
+
+@register("multires_hubert")
+@register("multires_hubert_base")
+def multires_hubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
+    from ..models.multires_hubert import MultiresHubertConfig, MultiresHubertModel
+
+    cfg = MultiresHubertConfig()
+    model = MultiresHubertModel(cfg, dtype=dtype)
+    if ckpt is not None:
+        raise NotImplementedError("mr-hubert ckpt conversion lands with the converter pass")
+    logger.info("multires_hubert: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    n_layers = (cfg.pre_layers + 1) + (cfg.middle_layers + 1) + (cfg.post_layers + 1)
+    return Upstream(
+        name="multires_hubert", apply_fn=apply_fn, params=params,
+        num_layers=n_layers, hidden_size=cfg.encoder_embed_dim, downsample_rate=320,
+    )

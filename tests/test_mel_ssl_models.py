@@ -165,3 +165,19 @@ def test_ast_upstreams(name, stride):
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == 13 and hs.shape[-1] == 768
     assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_cpc_upstream():
+    up = hub.load("cpc")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 2 and hs.shape[-1] == 256
+    assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_multires_hubert_upstream():
+    up = hub.load("multires_hubert")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 15  # (4+1) pre + (4+1) middle + (4+1) post
+    assert np.isfinite(np.asarray(hs)).all()
