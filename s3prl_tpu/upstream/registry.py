@@ -718,3 +718,65 @@ def multires_hubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
         name="multires_hubert", apply_fn=apply_fn, params=params,
         num_layers=n_layers, hidden_size=cfg.encoder_embed_dim, downsample_rate=320,
     )
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace escape hatches (reference: s3prl/upstream/hf_wav2vec2,
+# hf_hubert — the generic `--hub huggingface` path, runner.py:121-139).
+# Uses transformers' native Flax models; `ckpt` is a model id or local dir.
+# ---------------------------------------------------------------------------
+
+
+def _hf_upstream(name, flax_cls, config_cls, ckpt=None, seed=0, **kwargs):
+    if ckpt is not None:
+        model = flax_cls.from_pretrained(ckpt, output_hidden_states=True)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization from default config")
+        # transformers' Flax wav2vec2 only implements the stable-layer-norm
+        # (Large-style) encoder variant
+        cfg = config_cls(
+            output_hidden_states=True, do_stable_layer_norm=True, feat_extract_norm="layer"
+        )
+        model = flax_cls(cfg, seed=seed)
+    stride = 1
+    for s in model.config.conv_stride:
+        stride *= s
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        from ..ops.masking import length_mask
+
+        mask = length_mask(wav_lens, wavs.shape[1], jnp.int32)
+        out = model(
+            wavs, attention_mask=mask, params=params,
+            output_hidden_states=True, train=False,
+        )
+        hs = jnp.stack(out.hidden_states)  # [L+1, B, T', H]
+        t_feat = hs.shape[2]
+        r = max(wavs.shape[1] // max(t_feat, 1), 1)
+        feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
+        return hs, feat_lens
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=model.params,
+        num_layers=model.config.num_hidden_layers + 1,
+        hidden_size=model.config.hidden_size, downsample_rate=stride,
+    )
+
+
+@register("hf_wav2vec2")
+@register("hf_wav2vec2_custom")
+def hf_wav2vec2(**kwargs) -> Upstream:
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
+
+    return _hf_upstream("hf_wav2vec2", FlaxWav2Vec2Model, Wav2Vec2Config, **kwargs)
+
+
+@register("hf_hubert")
+@register("hf_hubert_custom")
+def hf_hubert(**kwargs) -> Upstream:
+    """transformers has no Flax HuBERT; the HF hubert escape hatch rides the
+    Flax wav2vec2 class (architecturally compatible for feature extraction;
+    use s3prl-format ckpts + the native converter for exact HuBERT)."""
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
+
+    return _hf_upstream("hf_hubert", FlaxWav2Vec2Model, Wav2Vec2Config, **kwargs)

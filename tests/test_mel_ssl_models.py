@@ -181,3 +181,12 @@ def test_multires_hubert_upstream():
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == 15  # (4+1) pre + (4+1) middle + (4+1) post
     assert np.isfinite(np.asarray(hs)).all()
+
+
+@pytest.mark.slow
+def test_hf_wav2vec2_upstream():
+    up = hub.load("hf_wav2vec2")
+    wavs, lens = pseudo_batch([0.6, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == up.num_layers
+    assert np.isfinite(np.asarray(hs)).all()
