@@ -174,6 +174,10 @@ TOKENIZER_TYPES = {
 
 def load_tokenizer(path) -> Tokenizer:
     data = json.loads(Path(path).read_text())
+    if data["type"] == "SubwordTokenizer":
+        from .bpe import _load_subword  # registers + reconstructs merges
+
+        return _load_subword(data)
     cls = TOKENIZER_TYPES[data["type"]]
     tok = cls.__new__(cls)
     Tokenizer.__init__(tok, [])

@@ -121,3 +121,18 @@ def test_slot_tokenizer_roundtrip():
     from s3prl_tpu.metric.slot_filling import slot_type_f1
 
     assert slot_type_f1([text], [text]) == 1.0
+
+
+def test_bpe_tokenizer_roundtrip(tmp_path):
+    from s3prl_tpu.data.bpe import SubwordTokenizer
+    from s3prl_tpu.data.encoder import load_tokenizer
+
+    lines = ["the quick brown fox", "the lazy dog", "the quick dog"] * 5
+    tok = SubwordTokenizer.from_text(lines, vocab_size=40)
+    ids = tok.encode("the quick dog")
+    assert tok.decode(ids) == "the quick dog"
+    # frequent word becomes a single subword
+    assert len(tok.encode("the")) <= 2
+    tok.save(tmp_path / "bpe.json")
+    tok2 = load_tokenizer(tmp_path / "bpe.json")
+    assert tok2.encode("the quick dog") == ids
