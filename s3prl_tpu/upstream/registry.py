@@ -780,3 +780,149 @@ def hf_hubert(**kwargs) -> Upstream:
     from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
 
     return _hf_upstream("hf_hubert", FlaxWav2Vec2Model, Wav2Vec2Config, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# DeCoAR 1, vq-wav2vec, mos_prediction, and informative stubs for the
+# external-package wrappers (pase_plus, passt, lighthubert, espnet_hubert).
+# ---------------------------------------------------------------------------
+
+
+@register("decoar")
+@register("decoar_layers")
+def decoar(ckpt=None, seed=0, **kwargs) -> Upstream:
+    """DeCoAR 1 (reference: s3prl/upstream/decoar/decoar.py): fbank-80 ->
+    Dense(1024) -> 4-layer forward LSTM + 4-layer backward LSTM, states
+    concatenated -> 2048-d representations."""
+    import flax.linen as nn
+
+    from ..models.baseline import baseline_features
+
+    class DecoarModel(nn.Module):
+        @nn.compact
+        def __call__(self, feats, feat_lens, train=False):
+            x = nn.Dense(1024, name="post_extract_proj")(feats)
+            fwd, bwd = x, x
+            for i in range(4):
+                fwd = nn.RNN(nn.OptimizedLSTMCell(1024), name=f"fwd_{i}")(fwd, seq_lengths=feat_lens)
+                bwd = nn.RNN(nn.OptimizedLSTMCell(1024), reverse=True, keep_order=True,
+                             name=f"bwd_{i}")(bwd, seq_lengths=feat_lens)
+            return jnp.concatenate([fwd, bwd], axis=-1)[None], feat_lens
+
+    model = DecoarModel()
+    if ckpt is not None:
+        raise NotImplementedError("decoar ckpt conversion lands with the converter pass")
+    logger.info("decoar: no ckpt given — random initialization")
+    feats = jnp.zeros((1, 98, 80), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, feats, jnp.asarray([98])))(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        feats, feat_lens = baseline_features(
+            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=False
+        )
+        return model.apply({"params": params}, feats, feat_lens)
+
+    return Upstream(
+        name="decoar", apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=2048, downsample_rate=160,
+    )
+
+
+@register("vq_wav2vec")
+@register("vq_wav2vec_gumbel")
+def vq_wav2vec(ckpt=None, seed=0, **kwargs) -> Upstream:
+    """vq-wav2vec (reference: s3prl/upstream/wav2vec/wav2vec_model.py with a
+    Gumbel/k-means quantizer between z and the aggregator): the wav2vec 1.0
+    conv stack whose features are vector-quantized before aggregation."""
+    import flax.linen as nn
+
+    from ..models.apc import VQLayer
+    from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+
+    cfg = Wav2Vec1Config()
+    inner = Wav2Vec1Model(cfg)
+
+    class VQWav2Vec(nn.Module):
+        @nn.compact
+        def __call__(self, wavs, wav_lens, deterministic=True):
+            hs, lens = inner.copy(name="w2v")(wavs, wav_lens, deterministic)
+            _, q = VQLayer(codebook_size=320, code_dim=512, name="vq")(hs[0], train=False)
+            hs = hs.at[0].set(q)
+            return hs, lens
+
+    model = VQWav2Vec()
+    if ckpt is not None:
+        raise NotImplementedError("vq_wav2vec ckpt conversion lands with the converter pass")
+    logger.info("vq_wav2vec: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    n_layers = 1 + (len(cfg.conv_aggregator_layers) - 1) + 1
+    return Upstream(
+        name="vq_wav2vec", apply_fn=apply_fn, params=params,
+        num_layers=n_layers, hidden_size=512, downsample_rate=cfg.downsample_rate,
+    )
+
+
+@register("mos_wav2vec2")
+@register("mos_prediction")
+def mos_prediction(ckpt=None, seed=0, **kwargs) -> Upstream:
+    """MOS predictor (reference: s3prl/upstream/mos_prediction/model.py):
+    wav2vec2-Base trunk + mean-pooled linear head emitting one quality score
+    per utterance. API outlier (scalar output; the reference's own tests skip
+    it, test_upstream.py:158)."""
+    import flax.linen as nn
+
+    from ..models.wav2vec2 import BASE, Wav2Vec2Trunk
+
+    class MosModel(nn.Module):
+        @nn.compact
+        def __call__(self, wavs, wav_lens, deterministic=True):
+            hs, lens = Wav2Vec2Trunk(BASE, name="trunk")(wavs, wav_lens, deterministic=deterministic)
+            from ..ops.masking import length_mask
+
+            mask = length_mask(lens, hs.shape[2], hs.dtype)[..., None]
+            pooled = (hs[-1] * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
+            score = nn.Dense(1, name="mos_head")(pooled)
+            # expose the score broadcast over time as a single hidden state
+            return jnp.broadcast_to(score[:, None, :], (hs.shape[1], hs.shape[2], 1))[None], lens
+
+    model = MosModel()
+    if ckpt is not None:
+        raise NotImplementedError("mos ckpt conversion lands with the converter pass")
+    logger.info("mos_prediction: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name="mos_prediction", apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=1, downsample_rate=320,
+    )
+
+
+def _external_stub(name: str, package: str):
+    @register(name)
+    def stub(**kwargs):
+        raise NotImplementedError(
+            f"'{name}' wraps the external '{package}' package in the reference "
+            f"(a thin import wrapper, no in-tree model); a native port is not "
+            f"scheduled — use the corresponding native family instead."
+        )
+    return stub
+
+
+_external_stub("pase_plus", "pase")
+_external_stub("passt", "hear21passt")
+_external_stub("lighthubert", "lighthubert")
+_external_stub("espnet_hubert", "espnet")
+_external_stub("byol_s", "serab_byols")
