@@ -1,8 +1,9 @@
 from .base import Problem
 from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
-from .asr import SuperbASR, SuperbPR, SuperbSF
+from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD
+from .hear import HearScene
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

@@ -205,3 +205,40 @@ class SuperbSF(SuperbASR):
             **config.get("build_featurizer", {}),
         )
         return SlotFillingCTCTask(module, tokenizer)
+
+
+class AsrExample(SuperbASR):
+    """Smoke-test ASR on pseudo audio with toy transcripts."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_train": 6, "num_valid": 2, "num_test": 2}
+        cfg["build_downstream"] = {"hidden_size": 32, "num_layers": 1, "proj_size": 32}
+        cfg["build_batch_sampler"] = {"batch_size": 2}
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 2, "save_step": 2}
+        return cfg
+
+    def prepare_data(self, workspace: Path, config: dict):
+        import numpy as np
+
+        from ..util.pseudo_data import _write_wav
+
+        cfg = config.get("prepare_data", {})
+        rng = np.random.RandomState(0)
+        wav_dir = workspace / "wavs"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        texts = ["hello world", "good day", "speech test", "jax on tpu"]
+        for split, n in [
+            ("train", cfg.get("num_train", 6)),
+            ("valid", cfg.get("num_valid", 2)),
+            ("test", cfg.get("num_test", 2)),
+        ]:
+            rows = []
+            for i in range(n):
+                secs = float(rng.uniform(0.5, 1.5))
+                wav = (rng.randn(int(16000 * secs)) * 0.1).astype(np.float32)
+                path = wav_dir / f"{split}_{i}.wav"
+                _write_wav(path, wav)
+                rows.append(dict(id=f"{split}_{i}", wav_path=str(path),
+                                 transcription=texts[i % len(texts)], duration=secs))
+            pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)

@@ -112,3 +112,17 @@ def test_hubert_pretrain_example(tmp_path):
     logs = [json.loads(l) for l in lines]
     assert logs and all(np.isfinite(l["loss"]) for l in logs)
     assert all(0.0 <= l.get("masked_acc", 0.0) <= 1.0 for l in logs)
+
+
+def test_asr_example_full_run(tmp_path):
+    """CTC ASR end-to-end: tokenizer build, BLSTM-CTC training, WER eval."""
+    from s3prl_tpu.problem import AsrExample
+
+    problem = AsrExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert np.isfinite(logs["loss"])
+    assert 0.0 <= logs["wer"]
+    assert (tmp_path / "tokenizer.json").exists()
