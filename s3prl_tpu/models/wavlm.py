@@ -196,8 +196,8 @@ class WavLMModel(nn.Module):
         padding_mask = ~length_mask(feat_lens, t_feat)
         x = jnp.where(padding_mask[..., None], 0.0, features)
         x = x + ConvPositionalEmbedding(
-            cfg.encoder_embed_dim, cfg.conv_pos, cfg.conv_pos_groups, self.dtype,
-            name="pos_conv",
+            cfg.encoder_embed_dim, cfg.conv_pos, cfg.conv_pos_groups,
+            dtype=self.dtype, name="pos_conv",
         )(x)
         if not cfg.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_layer_norm")(x).astype(self.dtype)
