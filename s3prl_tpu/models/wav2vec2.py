@@ -102,8 +102,11 @@ class Wav2Vec2Trunk(nn.Module):
         wav_lens: jnp.ndarray,  # [B]
         mask_indices: Optional[jnp.ndarray] = None,  # [B, T'] bool, True = mask
         deterministic: bool = True,
+        layer_weights: Optional[jnp.ndarray] = None,  # fused weighted-sum path
     ):
-        """Returns (hidden_states[L+1, B, T', C], feat_lens[B])."""
+        """Returns (hidden_states[L+1, B, T', C], feat_lens[B]); with
+        layer_weights, hidden_states is the fused weighted sum [1, B, T', C]
+        (see TransformerEncoder)."""
         cfg = self.cfg
         if cfg.normalize:
             wavs = normalize_wavs(wavs, wav_lens)
@@ -170,5 +173,6 @@ class Wav2Vec2Trunk(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
             name="encoder",
-        )(features, padding_mask, deterministic=deterministic)
+        )(features, padding_mask, deterministic=deterministic,
+          layer_weights=layer_weights)
         return hidden_states, feat_lens

@@ -117,7 +117,7 @@ def _trunk_upstream(
             deterministic=not train, rngs=rngs,
         )
 
-    return Upstream(
+    up = Upstream(
         name=name,
         apply_fn=apply_fn,
         params=params,
@@ -125,6 +125,17 @@ def _trunk_upstream(
         hidden_size=cfg.encoder_embed_dim,
         downsample_rate=cfg.downsample_rate,
     )
+
+    def apply_weighted(params, layer_weights, wavs, wav_lens):
+        """Fused weighted-sum extraction (serving path): never materializes
+        the per-layer states; returns ([1, B, T, H], feat_lens)."""
+        return model.apply(
+            {"params": params}, wavs, wav_lens, deterministic=True,
+            layer_weights=layer_weights,
+        )
+
+    up.apply_weighted = apply_weighted
+    return up
 
 
 @register("wav2vec2")

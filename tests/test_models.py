@@ -120,3 +120,19 @@ def test_masking_path():
         mask_indices=jnp.asarray(mask), deterministic=True,
     )
     assert not np.allclose(np.asarray(hs_plain)[-1], np.asarray(hs_masked)[-1])
+
+
+def test_fused_weighted_sum_matches_materialized():
+    """The fused scan accumulator must equal softmax-weighted stacked states."""
+    rng = np.random.RandomState(0)
+    wavs = rng.randn(2, 3200).astype(np.float32)
+    lens = np.array([3200, 2400], np.int32)
+    model = Wav2Vec2Trunk(TINY)
+    v = model.init(jax.random.key(0), jnp.asarray(wavs), jnp.asarray(lens), deterministic=True)
+    hs, fl = model.apply(v, jnp.asarray(wavs), jnp.asarray(lens), deterministic=True)
+    w = jax.nn.softmax(jnp.asarray(np.linspace(-1, 1, hs.shape[0]), jnp.float32))
+    want = np.einsum("l,lbth->bth", np.asarray(w), np.asarray(hs))
+    fused, _ = model.apply(
+        v, jnp.asarray(wavs), jnp.asarray(lens), deterministic=True, layer_weights=w
+    )
+    np.testing.assert_allclose(np.asarray(fused)[0], want, atol=2e-5)
