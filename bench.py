@@ -35,6 +35,10 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 32))
     secs = float(os.environ.get("BENCH_SECS", 10.0))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    # BENCH_MODE=weighted benches the fused weighted-sum serving path (the
+    # SUPERB probe consumes softmax(w)·hidden_states; the fused scan never
+    # materializes the 25 per-layer states)
+    mode = os.environ.get("BENCH_MODE", "hidden_states")
 
     up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16)
 
@@ -47,11 +51,21 @@ def main():
     # between iterations) and the result is fetched to host: remote-execution
     # backends (the axon tunnel) resolve block_until_ready without actually
     # blocking, so host-side dispatch loops measure nothing.
+    if mode == "weighted":
+        weights = jax.nn.softmax(jnp.zeros((26,), jnp.float32))
+
+        def forward(params, w, lens):
+            return up.apply_weighted(params, weights, w, lens)
+    else:
+
+        def forward(params, w, lens):
+            return up.apply_standardized(params, w, lens)
+
     @jax.jit
     def extract_loop(params, wavs, lens):
         def body(i, carry):
             w, acc = carry
-            hs, _ = up.apply_standardized(params, w, lens)
+            hs, _ = forward(params, w, lens)
             dep = 0.0 * hs[-1, :, 0, :1].astype(wavs.dtype).mean(-1, keepdims=True)
             return wavs + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32)
 

@@ -937,3 +937,48 @@ _external_stub("passt", "hear21passt")
 _external_stub("lighthubert", "lighthubert")
 _external_stub("espnet_hubert", "espnet")
 _external_stub("byol_s", "serab_byols")
+
+
+@register("vq_wav2vec_kmeans_roberta")
+@register("discretebert")
+def vq_wav2vec_roberta(ckpt=None, seed=0, **kwargs) -> Upstream:
+    """Discrete-unit BERT pipeline (reference: s3prl/upstream/roberta +
+    vq_wav2vec hubconf `vq_wav2vec_kmeans_roberta`): vq-wav2vec tokens ->
+    RoBERTa contextualizer. Here the quantizer indices come from the
+    in-framework vq_wav2vec VQ layer."""
+    import flax.linen as nn
+
+    from ..models.apc import VQLayer
+    from ..models.roberta import RobertaConfig, RobertaModel
+    from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+
+    w2v_cfg = Wav2Vec1Config()
+    rob_cfg = RobertaConfig(num_layers=4)  # compact default w/o ckpt
+
+    class Pipeline(nn.Module):
+        @nn.compact
+        def __call__(self, wavs, wav_lens, deterministic=True):
+            hs, lens = Wav2Vec1Model(w2v_cfg, name="w2v")(wavs, wav_lens, deterministic)
+            logits, _ = VQLayer(codebook_size=rob_cfg.vocab_size - 4, code_dim=512, name="vq")(
+                hs[0], train=False
+            )
+            tokens = jnp.argmax(logits, axis=-1) + 4  # offset past specials
+            return RobertaModel(rob_cfg, name="roberta")(tokens, lens, deterministic)
+
+    model = Pipeline()
+    if ckpt is not None:
+        raise NotImplementedError("roberta ckpt conversion lands with the converter pass")
+    logger.info("vq_wav2vec_kmeans_roberta: no ckpt given — random initialization")
+    probe = jnp.zeros((1, 16000), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+    )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name="vq_wav2vec_kmeans_roberta", apply_fn=apply_fn, params=params,
+        num_layers=rob_cfg.num_layers + 1, hidden_size=rob_cfg.hidden_size,
+        downsample_rate=160,
+    )

@@ -136,3 +136,12 @@ def test_bpe_tokenizer_roundtrip(tmp_path):
     tok.save(tmp_path / "bpe.json")
     tok2 = load_tokenizer(tmp_path / "bpe.json")
     assert tok2.encode("the quick dog") == ids
+
+
+def test_corpus_bleu():
+    from s3prl_tpu.metric.bleu import corpus_bleu
+
+    assert corpus_bleu(["the cat sat on the mat"], ["the cat sat on the mat"]) == pytest.approx(100.0)
+    assert corpus_bleu(["a b c d e"], ["v w x y z"]) == 0.0
+    mid = corpus_bleu(["the cat sat on a mat"], ["the cat sat on the mat"])
+    assert 0 < mid < 100
