@@ -69,3 +69,59 @@ def test_separation_task_trains_and_reconstructs():
     wavs = task.reconstruct(cache["masks"], batch["x"], T)
     assert wavs.shape == (B, 2, T)
     assert np.isfinite(np.asarray(wavs)).all()
+
+
+def test_speech_translation_task():
+    """ST: teacher-forced CE decreases; greedy decode + BLEU run."""
+    import flax.linen as nn
+    from s3prl_tpu.data.encoder import WordTokenizer
+    from s3prl_tpu.models.decoder import DecoderConfig, TransformerDecoder
+    from s3prl_tpu.task.speech_translation import SpeechTranslationTask
+
+    tok = WordTokenizer.from_text(["guten tag welt", "hallo welt"])
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, hs, h_lens, train=False):
+            x = hs[0] if hs.ndim == 4 else hs
+            return nn.Dense(32)(x), h_lens
+
+    dec = TransformerDecoder(DecoderConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                                           num_layers=1, num_heads=2, ffn_size=64))
+    task = SpeechTranslationTask(Encoder(), dec, tok, max_decode_len=8)
+
+    rng = np.random.RandomState(0)
+    hs = jnp.asarray(rng.randn(1, 2, 20, 16).astype(np.float32))
+    lens = jnp.asarray([20, 15])
+    ids = [tok.encode("hallo welt") + [tok.eos_idx], tok.encode("guten tag welt") + [tok.eos_idx]]
+    N = max(len(i) for i in ids)
+    targets = np.zeros((2, N), np.int32)
+    tlens = np.zeros(2, np.int32)
+    for i, t in enumerate(ids):
+        targets[i, :len(t)] = t
+        tlens[i] = len(t)
+    batch = {"class_ids": jnp.asarray(targets), "class_ids_len": jnp.asarray(tlens)}
+
+    params = task.init_params(jax.random.key(0), hs, lens, batch)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, cache), grads = jax.value_and_grad(
+            lambda p: task.loss_and_cache(p, hs, lens, batch, jax.random.key(0), True),
+            has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, cache
+
+    losses = []
+    for _ in range(25):
+        params, opt_state, loss, cache = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    decoded = task.greedy_decode(params, hs, lens)
+    assert decoded.shape[0] == 2
+    logs = task.reduction("valid", [{**{k: np.asarray(v) for k, v in cache.items()},
+                                     "labels": ["hallo welt", "guten tag welt"]}])
+    assert "bleu" in logs and np.isfinite(logs["loss"])
