@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: fused attention with gated relative-position bias.
+
+The hot op of WavLM's encoder (SURVEY hard part #4; reference behavior:
+s3prl/upstream/wavlm/modules.py:532-556): attention scores receive an
+additive bias `gate[b,h,i] * pos_bias[h,i,j]` before the softmax. The naive
+XLA lowering materializes the [B, H, T, T] gated bias in HBM per layer
+(~256 MB for B=32, T=500) — this kernel computes the gating, bias add,
+padding mask, fp32 softmax, and the PV matmul in one VMEM-resident pass per
+(batch, head, query-block) grid cell: the [T, T] tensors never leave VMEM.
+
+Speech SUPERB sequence lengths (<=1500 frames at 20 ms) keep whole K/V rows
+in VMEM, so no K-block online-softmax loop is needed; the query dimension is
+still blocked to bound VMEM. Falls back to the plain XLA path for shapes
+that exceed the VMEM budget (ops/attention.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128  # query block
+MAX_KERNEL_T = 2048  # beyond this, VMEM would overflow -> XLA fallback
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
+    """Grid cell (b, h, iq): one query block against all keys.
+
+    q_ref: [BQ, Dh]; k_ref/v_ref: [T, Dh]; bias_ref: [T_pos rows = BQ, T]
+    (pre-sliced by the index map); gate_ref: [BQ, 1]; kvlen_ref: [1, 1] SMEM.
+    """
+    q = q_ref[:].astype(jnp.float32)  # [BQ, Dh]
+    k = k_ref[:].astype(jnp.float32)  # [T, Dh]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, T]
+    gate = gate_ref[:].astype(jnp.float32).reshape(-1, 1)  # [BQ, 1]
+    scores = scores + gate * bias_ref[:].astype(jnp.float32)
+    T = scores.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], T), 1)
+    scores = jnp.where(col < kvlen_ref[0], scores, -1e9)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (out / denom).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=False):
+    B, H, T, Dh = q.shape
+    Tp = -(-T // BQ) * BQ  # pad queries to the block size
+    if Tp != T:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        biasp = jnp.pad(pos_bias, ((0, 0), (0, Tp - T), (0, 0)))
+        gatep = jnp.pad(gate, ((0, 0), (0, 0), (0, Tp - T)))
+    else:
+        qp, biasp, gatep = q, pos_bias, gate
+
+    grid = (B, H, Tp // BQ)
+    out = pl.pallas_call(
+        _attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BQ, T), lambda b, h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, BQ), lambda b, h, i: (b, h, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1), lambda b, h, i: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        qp,
+        k,
+        v,
+        biasp,
+        gatep,
+        kv_lens.reshape(B, 1).astype(jnp.int32),
+    )
+    return out[:, :, :T]
+
+
+def gated_bias_attention(
+    q: jnp.ndarray,  # [B, H, T, Dh], pre-scaled by Dh**-0.5
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,  # [H, T, T]
+    gate: jnp.ndarray,  # [B, H, T] per-query bias scale
+    kv_lens: jnp.ndarray,  # [B] valid key lengths
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gated-bias attention; XLA fallback beyond the VMEM budget."""
+    B, H, T, Dh = q.shape
+    if T > MAX_KERNEL_T:
+        from ..ops.attention import scaled_dot_attention
+        from ..ops.masking import length_mask
+
+        bias = gate[..., None] * pos_bias[None]
+        pad = ~length_mask(kv_lens, T)
+        return scaled_dot_attention(q, k, v, pad, bias)
+    return _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=interpret)
