@@ -117,4 +117,67 @@ def gated_bias_attention(
         bias = gate[..., None] * pos_bias[None]
         pad = ~length_mask(kv_lens, T)
         return scaled_dot_attention(q, k, v, pad, bias)
+    interpret = interpret or jax.default_backend() == "cpu"
     return _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=interpret)
+
+
+def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    T = scores.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], T), 1)
+    scores = jnp.where(col < kvlen_ref[0], scores, -1e9)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (out / denom).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _flash_attention_kernel(q, k, v, kv_lens, interpret=False):
+    B, H, T, Dh = q.shape
+    Tp = -(-T // BQ) * BQ
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0))) if Tp != T else q
+    out = pl.pallas_call(
+        _attn_kernel_nobias,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype),
+        grid=(B, H, Tp // BQ),
+        in_specs=[
+            pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1), lambda b, h, i: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, k, v, kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :, :T]
+
+
+def flash_attention(q, k, v, kv_lens, interpret: bool = False):
+    """Fused masked attention (no bias): scores never touch HBM.
+
+    q pre-scaled by Dh**-0.5; kv_lens[B] valid key counts (padding is
+    contiguous in this framework). Forward-only (use under stop_gradient /
+    inference; training falls back to the XLA path).
+    """
+    B, H, T, Dh = q.shape
+    if T > MAX_KERNEL_T:
+        from ..ops.attention import scaled_dot_attention
+        from ..ops.masking import length_mask
+
+        return scaled_dot_attention(q, k, v, ~length_mask(kv_lens, T))
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _flash_attention_kernel(q, k, v, kv_lens, interpret=interpret)

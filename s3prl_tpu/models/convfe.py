@@ -49,6 +49,46 @@ def total_stride(conv_layers=DEFAULT_CONV_LAYERS) -> int:
     return out
 
 
+class _Im2ColConv(nn.Module):
+    """Valid strided conv over a single input channel as an im2col matmul.
+
+    Mathematically identical to nn.Conv(features, (k,), (stride,), 'VALID')
+    on [B, T, 1] input — parameter path ('kernel' [k, 1, features], fp32) and
+    numerics match; only the lowering differs (strided patch extraction +
+    one dense [B*T', k] @ [k, features] MXU matmul instead of a C_in=1 conv).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, 1]
+        import jax
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, 1, self.features), jnp.float32
+        )
+        patches = jax.lax.conv_general_dilated_patches(
+            jnp.transpose(x, (0, 2, 1)),  # [B, 1, T]
+            filter_shape=(k,),
+            window_strides=(self.stride,),
+            padding="VALID",
+        )  # [B, k, T']
+        out = jnp.einsum(
+            "bkt,kf->btf",
+            patches.astype(self.dtype),
+            kernel[:, 0, :].astype(self.dtype),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"  # "default" | "layer_norm"
@@ -61,15 +101,21 @@ class ConvFeatureExtractor(nn.Module):
         assert self.mode in ("default", "layer_norm")
         x = wavs[..., None].astype(self.dtype)  # [B, T, 1]
         for i, (dim, k, stride) in enumerate(self.conv_layers):
-            x = nn.Conv(
-                features=dim,
-                kernel_size=(k,),
-                strides=(stride,),
-                padding="VALID",
-                use_bias=self.conv_bias,
-                dtype=self.dtype,
-                name=f"conv_{i}",
-            )(x)
+            if i == 0:
+                # the C_in=1 waveform conv lowers poorly onto the MXU;
+                # _Im2ColConv computes the identical op as a patches matmul
+                # (same param path/shape as nn.Conv for ckpt compatibility)
+                x = _Im2ColConv(dim, k, stride, self.conv_bias, self.dtype, name="conv_0")(x)
+            else:
+                x = nn.Conv(
+                    features=dim,
+                    kernel_size=(k,),
+                    strides=(stride,),
+                    padding="VALID",
+                    use_bias=self.conv_bias,
+                    dtype=self.dtype,
+                    name=f"conv_{i}",
+                )(x)
             if self.mode == "layer_norm":
                 x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
             elif self.mode == "default" and i == 0:

@@ -95,6 +95,7 @@ class SelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas fused attention (forward-only paths)
 
     @nn.compact
     def __call__(
@@ -112,7 +113,17 @@ class SelfAttention(nn.Module):
         q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
         k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
-        out = scaled_dot_attention(q, k, v, key_padding_mask, attn_bias)
+        if self.use_flash and attn_bias is None:
+            from ..kernels.flash_attention import flash_attention
+
+            kv_lens = (
+                (~key_padding_mask).sum(-1).astype(jnp.int32)
+                if key_padding_mask is not None
+                else jnp.full((B,), T, jnp.int32)
+            )
+            out = flash_attention(q, k, v, kv_lens)
+        else:
+            out = scaled_dot_attention(q, k, v, key_padding_mask, attn_bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
@@ -129,6 +140,7 @@ class EncoderLayer(nn.Module):
     attention_dropout: float = 0.1
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def _act(self, x):
         if self.activation == "gelu":
@@ -149,7 +161,7 @@ class EncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         attn = lambda h: SelfAttention(
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
-            name="self_attn",
+            self.use_flash, name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
         ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
@@ -192,6 +204,7 @@ class TransformerEncoder(nn.Module):
     pos_conv_depth: int = 1
     layerdrop: float = 0.0
     remat: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -249,7 +262,7 @@ class TransformerEncoder(nn.Module):
         layer = layer_cls(
             self.embed_dim, self.ffn_dim, self.num_heads, self.layer_norm_first,
             self.dropout, self.activation_dropout, self.attention_dropout,
-            self.activation, self.dtype, name="layers",
+            self.activation, self.dtype, self.use_flash, name="layers",
         )
         acc0 = jnp.zeros_like(x) if fused else jnp.zeros((), x.dtype)
         ws = layer_weights[: self.num_layers, None] if fused else jnp.zeros((self.num_layers, 1))

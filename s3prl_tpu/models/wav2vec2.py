@@ -94,6 +94,7 @@ class Wav2Vec2Trunk(nn.Module):
     cfg: Wav2Vec2Config = BASE
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False  # Pallas fused attention (forward-only paths)
 
     @nn.compact
     def __call__(
@@ -171,6 +172,7 @@ class Wav2Vec2Trunk(nn.Module):
             pos_conv_depth=cfg.pos_conv_depth,
             layerdrop=cfg.encoder_layerdrop,
             remat=self.remat,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="encoder",
         )(features, padding_mask, deterministic=deterministic,

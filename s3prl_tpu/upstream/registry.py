@@ -95,8 +95,9 @@ def _trunk_upstream(
     dtype=jnp.float32,
     seed: int = 0,
     remat: bool = False,
+    flash: bool = False,
 ) -> Upstream:
-    model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat)
+    model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
 
     if ckpt is not None:
         from .convert import load_params

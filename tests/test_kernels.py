@@ -31,3 +31,45 @@ def test_gated_bias_attention_matches_xla():
         np.testing.assert_allclose(
             np.asarray(got)[b, :, :n], np.asarray(want)[b, :, :n], atol=2e-5
         )
+
+
+def test_flash_attention_nobias_matches_xla():
+    from s3prl_tpu.kernels.flash_attention import flash_attention
+
+    rng = np.random.RandomState(1)
+    B, H, T, Dh = 2, 4, 150, 32
+    q = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32)) * Dh ** -0.5
+    k = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32))
+    kv_lens = jnp.asarray([150, 90])
+    got = flash_attention(q, k, v, kv_lens, interpret=True)
+    want = scaled_dot_attention(q, k, v, ~length_mask(kv_lens, T))
+    for b, n in enumerate([150, 90]):
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :, :n], np.asarray(want)[b, :, :n], atol=2e-5
+        )
+
+
+def test_trunk_with_flash_matches_plain():
+    """Wav2Vec2Trunk(use_flash=True) must agree with the XLA path (interpret
+    mode can't be toggled through the module; on CPU the pallas kernel runs
+    via the CPU lowering)."""
+    from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64,
+        encoder_ffn_embed_dim=128, encoder_attention_heads=4,
+        dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+    )
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(2, 3200).astype(np.float32))
+    lens = jnp.asarray([3200, 2400])
+    plain = Wav2Vec2Trunk(cfg)
+    v = plain.init(jax.random.key(0), wavs, lens, deterministic=True)
+    hs_plain, _ = plain.apply(v, wavs, lens, deterministic=True)
+    flashy = Wav2Vec2Trunk(cfg, use_flash=True)
+    hs_flash, _ = flashy.apply(v, wavs, lens, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(hs_plain), np.asarray(hs_flash), atol=5e-5
+    )
