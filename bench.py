@@ -40,7 +40,8 @@ def main():
     # materializes the 25 per-layer states)
     mode = os.environ.get("BENCH_MODE", "hidden_states")
 
-    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16)
+    flash = os.environ.get("BENCH_FLASH", "0") == "1"
+    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=flash)
 
     T = int(16000 * secs)
     rng = np.random.RandomState(0)

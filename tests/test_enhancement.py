@@ -125,3 +125,48 @@ def test_speech_translation_task():
     logs = task.reduction("valid", [{**{k: np.asarray(v) for k, v in cache.items()},
                                      "labels": ["hallo welt", "guten tag welt"]}])
     assert "bleu" in logs and np.isfinite(logs["loss"])
+
+
+def test_voice_conversion_task():
+    """VC: teacher-forced L1 decreases; MCD computes."""
+    import flax.linen as nn
+    from s3prl_tpu.models.taco2ar import Taco2ARConfig, Taco2ARDecoder
+    from s3prl_tpu.task.voice_conversion import VoiceConversionTask
+
+    cfg = Taco2ARConfig(mel_dim=20, prenet_units=16, lstm_units=24, num_lstm_layers=1,
+                        postnet_channels=16, postnet_layers=2)
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, hs, h_lens, prev_mels, train=False):
+            feats = hs[0] if hs.ndim == 4 else hs
+            pred = Taco2ARDecoder(cfg, name="decoder")(feats, prev_mels, train=train)
+            return pred, h_lens
+
+    task = VoiceConversionTask(Model(), mel_dim=20)
+    rng = np.random.RandomState(0)
+    hs = jnp.asarray(rng.randn(1, 2, 30, 16).astype(np.float32))
+    lens = jnp.asarray([30, 22])
+    batch = {
+        "target_mel": jnp.asarray(rng.randn(2, 30, 20).astype(np.float32)),
+        "target_mel_len": jnp.asarray([30, 22]),
+    }
+    params = task.init_params(jax.random.key(0), hs, lens, batch)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (loss, cache), grads = jax.value_and_grad(
+            lambda p: task.loss_and_cache(p, hs, lens, batch, key, True), has_aux=True
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, cache
+
+    losses = []
+    for i in range(15):
+        params, opt_state, loss, cache = step(params, opt_state, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    logs = task.reduction("valid", [{k: np.asarray(v) for k, v in cache.items()}])
+    assert "mcd" in logs and np.isfinite(logs["mcd"])
