@@ -44,7 +44,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
     scores = scores + gate * bias_ref[:].astype(jnp.float32)
     T = scores.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], T), 1)
-    scores = jnp.where(col < kvlen_ref[0], scores, -1e9)
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    scores = jnp.where(col < kv_len, scores, -1e9)
     m = jnp.max(scores, axis=1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
@@ -82,8 +83,7 @@ def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=Fal
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, BQ), lambda b, h, i: (b, h, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1), lambda b, h, i: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B,1], whole array
         ],
         out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
@@ -129,7 +129,8 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
     )
     T = scores.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], T), 1)
-    scores = jnp.where(col < kvlen_ref[0], scores, -1e9)
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    scores = jnp.where(col < kv_len, scores, -1e9)
     m = jnp.max(scores, axis=1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
@@ -156,8 +157,7 @@ def _flash_attention_kernel(q, k, v, kv_lens, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1), lambda b, h, i: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B,1], whole array
         ],
         out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
