@@ -205,6 +205,7 @@ class TransformerEncoder(nn.Module):
     layerdrop: float = 0.0
     remat: bool = False
     use_flash: bool = False
+    layer_type: str = "transformer"  # "transformer" | "conformer"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -235,9 +236,9 @@ class TransformerEncoder(nn.Module):
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
-        layer_cls = EncoderLayer
+        layer_cls = ConformerLayer if self.layer_type == "conformer" else EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+            layer_cls = nn.remat(layer_cls, static_argnums=(4,))
 
         fused = layer_weights is not None
 
@@ -255,15 +256,21 @@ class TransformerEncoder(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "batch_stats": 0},  # conformer BN stats
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
             length=self.num_layers,
         )
-        layer = layer_cls(
-            self.embed_dim, self.ffn_dim, self.num_heads, self.layer_norm_first,
-            self.dropout, self.activation_dropout, self.attention_dropout,
-            self.activation, self.dtype, self.use_flash, name="layers",
-        )
+        if self.layer_type == "conformer":
+            layer = layer_cls(
+                self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
+                dtype=self.dtype, name="layers",
+            )
+        else:
+            layer = layer_cls(
+                self.embed_dim, self.ffn_dim, self.num_heads, self.layer_norm_first,
+                self.dropout, self.activation_dropout, self.attention_dropout,
+                self.activation, self.dtype, self.use_flash, name="layers",
+            )
         acc0 = jnp.zeros_like(x) if fused else jnp.zeros((), x.dtype)
         ws = layer_weights[: self.num_layers, None] if fused else jnp.zeros((self.num_layers, 1))
         (x, acc), layer_inputs = scan(layer, (x, acc0), ws)
@@ -276,3 +283,58 @@ class TransformerEncoder(nn.Module):
             return x, weighted[None]
         hidden_states = jnp.concatenate([layer_inputs, x[None]], axis=0)
         return x, hidden_states
+
+
+class ConformerLayer(nn.Module):
+    """Macaron Conformer block (reference: wav2vec2_model.py:441-594 —
+    ConformerEncoderLayer with FeedForwardModule:396, ConvolutionModule:313):
+    x + 0.5*FFN -> MHSA (pre-LN) -> conv module (pointwise GLU -> depthwise
+    k=31 -> BN -> swish -> pointwise) -> x + 0.5*FFN -> final LN."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    depthwise_kernel: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        def ffn(h, name):
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"{name}_ln")(h).astype(self.dtype)
+            h = nn.silu(nn.Dense(self.ffn_dim, dtype=self.dtype, name=f"{name}_fc1")(h))
+            h = drop(h)
+            return drop(nn.Dense(self.embed_dim, dtype=self.dtype, name=f"{name}_fc2")(h))
+
+        x = x + 0.5 * ffn(x, "ffn1")
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")(x).astype(self.dtype)
+        h = SelfAttention(self.embed_dim, self.num_heads, self.dropout, self.dtype,
+                          name="self_attn")(h, key_padding_mask, attn_bias, deterministic)
+        x = x + drop(h)
+
+        # convolution module
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="conv_ln")(x).astype(self.dtype)
+        h = nn.Dense(2 * self.embed_dim, use_bias=False, dtype=self.dtype, name="conv_pw1")(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+        if key_padding_mask is not None:
+            h = jnp.where(key_padding_mask[..., None], 0.0, h)
+        h = nn.Conv(self.embed_dim, (self.depthwise_kernel,), padding="SAME",
+                    feature_group_count=self.embed_dim, use_bias=False,
+                    dtype=self.dtype, name="conv_dw")(h)
+        h = nn.BatchNorm(use_running_average=True, name="conv_bn")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="conv_pw2")(h)
+        x = x + drop(h)
+
+        x = x + 0.5 * ffn(x, "ffn2")
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x).astype(self.dtype)

@@ -50,6 +50,7 @@ class Wav2Vec2Config:
     activation_dropout: float = 0.0
     dropout_input: float = 0.1
     encoder_layerdrop: float = 0.0
+    layer_type: str = "transformer"  # "transformer" | "conformer"
     # wave normalization (fairseq task cfg `normalize`; True for Large models)
     normalize: bool = False
 
@@ -171,6 +172,7 @@ class Wav2Vec2Trunk(nn.Module):
             conv_pos_groups=cfg.conv_pos_groups,
             pos_conv_depth=cfg.pos_conv_depth,
             layerdrop=cfg.encoder_layerdrop,
+            layer_type=cfg.layer_type,
             remat=self.remat,
             use_flash=self.use_flash,
             dtype=self.dtype,

@@ -102,36 +102,37 @@ def _trunk_upstream(
     if ckpt is not None:
         from .convert import load_params
 
-        params = load_params(ckpt)
+        variables = {"params": load_params(ckpt)}
     else:
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
         # jit the init: eager init dispatches thousands of tiny ops, which is
-        # pathological over remote-execution backends (the axon tunnel)
-        params = jax.jit(
+        # pathological over remote-execution backends (the axon tunnel);
+        # keep every variable collection (conformer layers carry batch_stats)
+        variables = jax.jit(
             lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-        )(jax.random.key(seed))["params"]
+        )(jax.random.key(seed))
 
-    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+    def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
         return model.apply(
-            {"params": params}, wavs, wav_lens,
+            variables, wavs, wav_lens,
             deterministic=not train, rngs=rngs,
         )
 
     up = Upstream(
         name=name,
         apply_fn=apply_fn,
-        params=params,
+        params=variables,
         num_layers=cfg.encoder_layers + 1,
         hidden_size=cfg.encoder_embed_dim,
         downsample_rate=cfg.downsample_rate,
     )
 
-    def apply_weighted(params, layer_weights, wavs, wav_lens):
+    def apply_weighted(variables, layer_weights, wavs, wav_lens):
         """Fused weighted-sum extraction (serving path): never materializes
         the per-layer states; returns ([1, B, T, H], feat_lens)."""
         return model.apply(
-            {"params": params}, wavs, wav_lens, deterministic=True,
+            variables, wavs, wav_lens, deterministic=True,
             layer_weights=layer_weights,
         )
 
@@ -983,3 +984,21 @@ def vq_wav2vec_roberta(ckpt=None, seed=0, **kwargs) -> Upstream:
         num_layers=rob_cfg.num_layers + 1, hidden_size=rob_cfg.hidden_size,
         downsample_rate=160,
     )
+
+
+CONFORMER_BASE = Wav2Vec2Config(
+    layer_type="conformer",
+    extractor_mode="layer_norm",
+    normalize=True,
+    dropout=0.0,
+    attention_dropout=0.0,
+    dropout_input=0.0,
+)
+
+
+@register("wav2vec2_conformer")
+@register("wav2vec2_conformer_relpos")
+def wav2vec2_conformer(**kwargs) -> Upstream:
+    """Conformer-encoder wav2vec2 variants (reference: wav2vec2_model.py
+    ConformerEncoder:3132; hubconf conformer entries)."""
+    return _trunk_upstream("wav2vec2_conformer", CONFORMER_BASE, **kwargs)

@@ -190,3 +190,11 @@ def test_hf_wav2vec2_upstream():
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == up.num_layers
     assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_conformer_upstream():
+    up = hub.load("wav2vec2_conformer")
+    wavs, lens = pseudo_batch([0.5, 0.4])
+    hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
+    assert hs.shape[0] == 13 and hs.shape[-1] == 768
+    assert np.isfinite(np.asarray(hs)).all()
