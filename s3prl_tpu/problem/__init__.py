@@ -4,6 +4,8 @@ from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD
 from .hear import HearScene
+from .qbe import QbeDTW, QbeExample
+from .enhancement import SeExample, SuperbSE, SuperbSS
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

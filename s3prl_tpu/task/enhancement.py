@@ -59,17 +59,19 @@ class SeparationTask(Task):
 
         mix_spec = stft_complex(batch["x"], n_fft=N_FFT, hop_length=HOP, win_length=WIN)
         mix_mag = jnp.abs(mix_spec)  # [B, F, n_freq]
-        Tm = min(T, mix_mag.shape[1])
-        masks = masks[:, :Tm]
-        mix_mag_t = mix_mag[:, :Tm]
 
-        # clean targets: [B, S, T_wav] -> magnitudes
+        # clean targets: [B, S, T_wav] -> magnitudes; sources may be padded to
+        # a different length than the bucketed mixture -> trim to common frames
         refs = batch["sources"]  # [B, S, T_wav]
         ref_mag = jnp.abs(
             stft_complex(
                 refs.reshape(-1, refs.shape[-1]), n_fft=N_FFT, hop_length=HOP, win_length=WIN
             )
-        ).reshape(B, self.num_sources, -1, self.n_freq)[:, :, :Tm]
+        ).reshape(B, self.num_sources, -1, self.n_freq)
+        Tm = min(T, mix_mag.shape[1], ref_mag.shape[2])
+        masks = masks[:, :Tm]
+        mix_mag_t = mix_mag[:, :Tm]
+        ref_mag = ref_mag[:, :, :Tm]
 
         valid = length_mask(jnp.minimum(out_lens, Tm), Tm, jnp.float32)[..., None]
 

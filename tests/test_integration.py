@@ -126,3 +126,29 @@ def test_asr_example_full_run(tmp_path):
     assert np.isfinite(logs["loss"])
     assert 0.0 <= logs["wer"]
     assert (tmp_path / "tokenizer.json").exists()
+
+
+def test_qbe_example(tmp_path):
+    """QbE DTW end-to-end: the doc embedding the query must outscore the other."""
+    import pandas as pd
+
+    from s3prl_tpu.problem import QbeExample
+
+    problem = QbeExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    scores = pd.read_csv(tmp_path / "scores.csv").set_index("doc")["score"]
+    assert scores["doc_match"] > scores["doc_other"]
+
+
+def test_se_example(tmp_path):
+    """SE end-to-end: mask training + SI-SDRi evaluation."""
+    from s3prl_tpu.problem import SeExample
+
+    problem = SeExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
