@@ -58,3 +58,24 @@ def prepare_librispeech_asr(
     for i, split in enumerate(test_splits):
         name = "test.csv" if len(test_splits) == 1 else f"test_{split}.csv"
         parse_split(Path(librispeech), split).to_csv(workspace / name, index=False)
+
+
+def parse_librilight(root, subsets=("small",)) -> pd.DataFrame:
+    """Libri-Light unlabeled audio lists (reference: dataio/corpus/
+    librilight.py): walk <root>/<subset>/<speaker>/<book>/*.flac|wav."""
+    rows = []
+    for subset in subsets:
+        for audio in sorted((Path(root) / subset).rglob("*")):
+            if audio.suffix not in AUDIO_EXTS:
+                continue
+            rows.append(
+                dict(id=audio.stem, wav_path=str(audio), spk_id=audio.parts[-3])
+            )
+    return pd.DataFrame(rows)
+
+
+def prepare_librilight(workspace, librilight: str, subsets=("small",), valid_fraction=0.01):
+    df = parse_librilight(librilight, subsets)
+    n_valid = max(int(len(df) * valid_fraction), 1)
+    df.iloc[n_valid:].to_csv(Path(workspace) / "train.csv", index=False)
+    df.iloc[:n_valid].to_csv(Path(workspace) / "valid.csv", index=False)

@@ -6,6 +6,7 @@ from .diarization import SdExample, SuperbSD
 from .hear import HearScene
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
+from .translation import StExample, SuperbST
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

@@ -73,24 +73,32 @@ class SpeechTranslationTask(Task):
         return loss, {"loss": loss, "prediction": pred, "prediction_len": target_lens}
 
     def greedy_decode(self, params, hs, h_lens) -> np.ndarray:
-        """Host-driven greedy decode (eval-time; jitted per step)."""
+        """Greedy decode with static shapes: the full (padded) token buffer
+        passes through the causal decoder each step — one compile total."""
         memory, lens = self.module.apply({"params": params["encoder"]}, hs, h_lens)
         B = memory.shape[0]
         eos = self.tokenizer.eos_idx
-        tokens = np.full((B, self.max_decode_len + 1), self.tokenizer.pad_idx, np.int32)
-        tokens[:, 0] = eos
-        done = np.zeros(B, bool)
-        for t in range(self.max_decode_len):
-            logits = self.decoder.apply(
-                {"params": params["decoder"]}, jnp.asarray(tokens[:, : t + 1]), memory, lens
+        pad = self.tokenizer.pad_idx
+        L = self.max_decode_len
+
+        @jax.jit
+        def decode(dec_params, memory, lens):
+            def body(carry, t):
+                tokens, done = carry
+                logits = self.decoder.apply({"params": dec_params}, tokens, memory, lens)
+                nxt = jnp.argmax(logits[:, t], -1).astype(jnp.int32)
+                nxt = jnp.where(done, pad, nxt)
+                tokens = tokens.at[:, t + 1].set(nxt)
+                done = done | (nxt == eos)
+                return (tokens, done), None
+
+            tokens0 = jnp.full((B, L + 1), pad, jnp.int32).at[:, 0].set(eos)
+            (tokens, _), _ = jax.lax.scan(
+                body, (tokens0, jnp.zeros((B,), bool)), jnp.arange(L)
             )
-            nxt = np.asarray(jnp.argmax(logits[:, -1], -1))
-            nxt = np.where(done, self.tokenizer.pad_idx, nxt)
-            tokens[:, t + 1] = nxt
-            done |= nxt == eos
-            if done.all():
-                break
-        return tokens[:, 1:]
+            return tokens
+
+        return np.asarray(decode(params["decoder"], memory, lens))[:, 1:]
 
     def reduction(self, mode: str, records: List[Dict[str, Any]]) -> Dict[str, float]:
         hyps, refs, losses = [], [], []

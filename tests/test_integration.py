@@ -152,3 +152,14 @@ def test_se_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
+
+
+def test_st_example(tmp_path):
+    """ST end-to-end: BPE tokenizer, encoder-decoder training, BLEU eval."""
+    from s3prl_tpu.problem import StExample
+
+    problem = StExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    assert "bleu" in results["evaluate_stage"]["test"]
