@@ -11,13 +11,10 @@ diarization model (nn/rnn.py SuperbDiarizationModel: LSTM stack + linear).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 
 from .heads import TemporalStatisticsPooling
-from ..ops.masking import length_mask
 
 XVECTOR_TDNNS_LENGTH_REDUCTION = 14
 

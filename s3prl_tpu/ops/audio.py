@@ -20,7 +20,6 @@ preemphasis 0.97, DC offset removal, round-to-power-of-two FFT, dither=0.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

@@ -11,7 +11,7 @@ workers on CPU — here it is a jitted transform (static shapes, jax PRNG).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -50,10 +50,6 @@ class _MixtureDataset(_CsvDataset):
         # sources transposed to [T, S] so the collate pads the time axis
 
 
-class _MaskHead:
-    pass
-
-
 class SuperbSS(Problem):
     """Source separation (reference: downstream/separation_stft2)."""
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import sys
 
 from .problem.base import Problem
 from . import problem as _registry  # noqa: F401

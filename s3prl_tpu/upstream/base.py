@@ -24,9 +24,8 @@ data-dependent trim.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -15,7 +15,6 @@ the reference's `randomize=True` escape hatch (nn/upstream.py:27-35).
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 from .base import Upstream
 from ..models.baseline import BASELINE_CONFIGS, make_baseline_apply
 from ..models.wav2vec2 import BASE, LARGE, Wav2Vec2Config, Wav2Vec2Trunk
-from ..models.convfe import conv_output_lengths
 
 logger = logging.getLogger(__name__)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ast
 import copy
-from typing import Any, Dict, List
+from typing import Any, List
 
 import yaml
 
