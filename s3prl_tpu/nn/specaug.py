@@ -74,3 +74,30 @@ class SpecAug:
 
     def __call__(self, key, feats, feat_lens=None):
         return specaug(key, feats, feat_lens, **self.kwargs)
+
+
+def time_warp(key: jax.Array, feats: jnp.ndarray, warp_window: int = 5) -> jnp.ndarray:
+    """Two-segment linear time warp (reference: nn/specaug.py time_warp /
+    mockingjay builder spec_augment): a random anchor near the center moves
+    by up to +-warp_window frames; frames are linearly re-interpolated.
+    Static shapes: per-utterance index maps + gather with interpolation.
+    """
+    B, T, D = feats.shape
+    if T <= 2 * warp_window + 2:
+        return feats
+    k1, k2 = jax.random.split(key)
+    center = jax.random.randint(k1, (B,), warp_window + 1, T - warp_window - 1)
+    shift = jax.random.randint(k2, (B,), -warp_window, warp_window + 1)
+    src_center = (center + shift).astype(jnp.float32)
+    t = jnp.arange(T, dtype=jnp.float32)[None, :]
+    c = center.astype(jnp.float32)[:, None]
+    sc = src_center[:, None]
+    # piecewise-linear source index: [0, c]->[0, sc], [c, T-1]->[sc, T-1]
+    left = t / jnp.maximum(c, 1.0) * sc
+    right = sc + (t - c) / jnp.maximum((T - 1) - c, 1.0) * ((T - 1) - sc)
+    src = jnp.where(t <= c, left, right)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, T - 1)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    frac = (src - lo.astype(jnp.float32))[..., None]
+    gather = lambda idx: jnp.take_along_axis(feats, idx[..., None].repeat(D, -1), axis=1)
+    return gather(lo) * (1.0 - frac) + gather(hi) * frac

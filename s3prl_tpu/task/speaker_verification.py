@@ -99,3 +99,35 @@ class SpeakerVerificationTask(Task):
         eer, _ = compute_eer(labels, scores)
         mindcf, _ = compute_minDCF(labels, scores)
         return {"eer": eer, "minDCF": mindcf}
+
+
+def ge2e_loss(
+    embs: jnp.ndarray,  # [N_spk, M_utt, D]
+    w: jnp.ndarray,  # learned scale (init 10.0)
+    b: jnp.ndarray,  # learned bias (init -5.0)
+) -> jnp.ndarray:
+    """Generalized end-to-end softmax loss (reference: downstream/
+    voxceleb2_ge2e — GE2E, Wan et al. 2018): each utterance is scored
+    against every speaker centroid (own centroid excludes the utterance)
+    and trained with softmax CE toward its own speaker.
+    """
+    N, M, D = embs.shape
+    e = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-8)
+    centroids = e.mean(axis=1)  # [N, D]
+    # exclusive centroids for own-speaker similarity
+    sums = e.sum(axis=1, keepdims=True)  # [N, 1, D]
+    excl = (sums - e) / (M - 1)  # [N, M, D]
+    excl = excl / jnp.maximum(jnp.linalg.norm(excl, axis=-1, keepdims=True), 1e-8)
+    cent_n = centroids / jnp.maximum(jnp.linalg.norm(centroids, axis=-1, keepdims=True), 1e-8)
+
+    sim = jnp.einsum("nmd,kd->nmk", e, cent_n)  # [N, M, N]
+    own = jnp.einsum("nmd,nmd->nm", e, excl)  # [N, M]
+    eye = jnp.eye(N, dtype=bool)[:, None, :]
+    sim = jnp.where(eye, own[..., None], sim)
+    logits = w * sim + b
+    labels = jnp.broadcast_to(jnp.arange(N)[:, None], (N, M))
+    import optax as _optax
+
+    return _optax.softmax_cross_entropy_with_integer_labels(
+        logits.reshape(N * M, N), labels.reshape(N * M)
+    ).mean()

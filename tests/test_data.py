@@ -145,3 +145,31 @@ def test_corpus_bleu():
     assert corpus_bleu(["a b c d e"], ["v w x y z"]) == 0.0
     mid = corpus_bleu(["the cat sat on a mat"], ["the cat sat on the mat"])
     assert 0 < mid < 100
+
+
+def test_ge2e_loss_prefers_clustered_embeddings():
+    import jax.numpy as jnp
+
+    from s3prl_tpu.task.speaker_verification import ge2e_loss
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, 1, 16) * 3
+    clustered = jnp.asarray((centers + rng.randn(4, 5, 16) * 0.1).astype(np.float32))
+    random = jnp.asarray(rng.randn(4, 5, 16).astype(np.float32))
+    w, b = jnp.float32(10.0), jnp.float32(-5.0)
+    assert float(ge2e_loss(clustered, w, b)) < float(ge2e_loss(random, w, b))
+
+
+def test_time_warp_preserves_shape_and_mass():
+    import jax
+    import jax.numpy as jnp
+
+    from s3prl_tpu.nn.specaug import time_warp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 50, 8).astype(np.float32))
+    y = time_warp(jax.random.key(0), x, warp_window=5)
+    assert y.shape == x.shape
+    # endpoints are fixed points of the warp
+    np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0], atol=1e-5)
+    assert not np.allclose(np.asarray(y), np.asarray(x))
