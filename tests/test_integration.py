@@ -163,3 +163,29 @@ def test_st_example(tmp_path):
     config.pop("target_dir")
     results = problem.run(str(tmp_path), **config)
     assert "bleu" in results["evaluate_stage"]["test"]
+
+
+def test_run_downstream_shim(tmp_path):
+    """Legacy-style CLI: -m train -u fbank -d example -p <dir> with -o overrides."""
+    from s3prl_tpu.run_downstream import main as rd_main
+
+    rd_main([
+        "-m", "train", "-u", "fbank", "-d", "example", "-p", str(tmp_path),
+        "-o", "train.total_steps=2,,train.save_step=2,,train.eval_step=2,,train.log_step=2",
+    ])
+    assert (tmp_path / "result.yaml").exists()
+
+
+def test_submit_packager(tmp_path):
+    import zipfile
+
+    from s3prl_tpu.submit import main as submit_main
+
+    exp = tmp_path / "exp"
+    (exp / "train").mkdir(parents=True)
+    (exp / "result.yaml").write_text("test: {accuracy: 0.5}")
+    (exp / "train" / "metrics.jsonl").write_text('{"mode": "train"}')
+    out = tmp_path / "submission.zip"
+    submit_main(["--output", str(out), "--sid", str(exp)])
+    names = zipfile.ZipFile(out).namelist()
+    assert any("sid/result.yaml" in n for n in names)
