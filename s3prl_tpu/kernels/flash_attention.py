@@ -25,8 +25,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BQ = 128  # query block
 MAX_KERNEL_T = 2048  # beyond this, VMEM would overflow -> XLA fallback
+
+
+def _query_block(T: int) -> int:
+    """Whole-T query blocks when the [T, T] score tile fits VMEM comfortably
+    (fewer grid cells -> K/V loaded once per (b, h)); else 128-row blocks."""
+    if T <= 1024:
+        return -(-T // 128) * 128  # T padded to the 128 lane requirement
+    return 128
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
@@ -59,6 +66,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
 @partial(jax.jit, static_argnames=("interpret",))
 def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=False):
     B, H, T, Dh = q.shape
+    BQ = _query_block(T)
     Tp = -(-T // BQ) * BQ  # pad queries to the block size
     if Tp != T:
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
@@ -144,6 +152,7 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
 @partial(jax.jit, static_argnames=("interpret",))
 def _flash_attention_kernel(q, k, v, kv_lens, interpret=False):
     B, H, T, Dh = q.shape
+    BQ = _query_block(T)
     Tp = -(-T // BQ) * BQ
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0))) if Tp != T else q
     out = pl.pallas_call(
