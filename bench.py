@@ -40,7 +40,7 @@ def main():
     # materializes the 25 per-layer states)
     mode = os.environ.get("BENCH_MODE", "hidden_states")
 
-    flash = os.environ.get("BENCH_FLASH", "0") == "1"
+    flash = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas fused attention (beats XLA at every protocol length)
     up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=flash)
 
     T = int(16000 * secs)
