@@ -7,6 +7,7 @@ from .hear import HearScene
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST
+from .vc import VcExample, VcVcc2020
 from .pretrain import (
     PretrainAPC,
     PretrainAudioAlbert,

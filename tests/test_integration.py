@@ -189,3 +189,15 @@ def test_submit_packager(tmp_path):
     submit_main(["--output", str(out), "--sid", str(exp)])
     names = zipfile.ZipFile(out).namelist()
     assert any("sid/result.yaml" in n for n in names)
+
+
+def test_vc_example(tmp_path):
+    """VC end-to-end: Taco2-AR training + MCD evaluation."""
+    from s3prl_tpu.problem import VcExample
+
+    problem = VcExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert np.isfinite(logs["l1"])
