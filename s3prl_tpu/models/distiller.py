@@ -82,8 +82,13 @@ class DistillerModel(nn.Module):
             name="feature_extractor",
         )(wavs)
         t_feat = feat.shape[1]
-        r = max(wavs.shape[1] // max(t_feat, 1), 1)
-        feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
+        # the distiller uses strict conv arithmetic for its pad mask
+        # (model.py:272 cal_pad_mask), unlike hubert's block-folded rule
+        from .convfe import conv_output_lengths
+
+        feat_lens = jnp.minimum(
+            conv_output_lengths(wav_lens, cfg.conv_feature_layers), t_feat
+        )
 
         if cfg.conv_feature_layers[-1][0] != cfg.encoder_embed_dim:
             feat_final = nn.Dense(

@@ -320,3 +320,67 @@ def mockingjay_params_from_torch(sd: Dict[str, Any], num_layers: int, share_laye
         per_layer = [layer(i) for i in range(num_layers)]
         params["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
     return params
+
+
+# ---------------------------------------------------------------------------
+# DistilHuBERT (reference: s3prl/upstream/distiller/model.py — ckpts store
+# {"config", "model"}; the trunk reuses wav2vec2 names plus output_layer)
+# ---------------------------------------------------------------------------
+
+
+def distiller_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a DistillerModel state_dict onto models/distiller.DistillerModel."""
+    import jax
+
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        fe[f"conv_{i}"] = {
+            "kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)
+        }
+        if cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+        elif cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+    params["feature_extractor"] = fe
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+
+    enc: Dict[str, Any] = {}
+    w = _fold_weight_norm(
+        _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
+    )
+    enc["pos_conv"] = {
+        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+    }
+    enc["layer_norm"] = _norm(sd, "encoder.layer_norm")
+    per_layer = []
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        per_layer.append(
+            {
+                "self_attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+                },
+                "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": _linear(sd, f"{p}.fc1"),
+                "fc2": _linear(sd, f"{p}.fc2"),
+                "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+            }
+        )
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    params["encoder"] = enc
+
+    params["out_expand"] = _linear(sd, "output_layer.0")
+    params["split_out"] = {
+        "weight": _t(sd["output_layer.2.weight"]),  # [N, Din, Dout]
+        "bias": _t(sd["output_layer.2.bias"]).reshape(cfg.n_tasks, -1),
+    }
+    return params
