@@ -73,11 +73,12 @@ class APCModel(nn.Module):
         x = feats
         hiddens = []
         for i in range(cfg.num_layers):
-            rnn = nn.RNN(nn.GRUCell(cfg.hidden_size), name=f"gru_{i}")
+            rnn = nn.RNN(nn.GRUCell(cfg.hidden_size, name=f"cell_{i}"))
             out = rnn(x, seq_lengths=feat_lens)
-            if i + 1 < cfg.num_layers:
-                out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
-            if cfg.residual and x.shape[-1] == out.shape[-1]:
+            # reference order (apc.py:121-141): dropout every layer, residual
+            # only from the second layer on
+            out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
+            if cfg.residual and i > 0 and x.shape[-1] == out.shape[-1]:
                 out = out + x
             hiddens.append(out)
             x = out

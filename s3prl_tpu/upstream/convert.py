@@ -384,3 +384,47 @@ def distiller_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         "bias": _t(sd["output_layer.2.bias"]).reshape(cfg.n_tasks, -1),
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# APC / VQ-APC (reference: s3prl/upstream/apc — torch GRU stacks)
+# ---------------------------------------------------------------------------
+
+
+def _gru_params_from_torch(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch nn.GRU (single layer) -> flax GRUCell param tree.
+
+    torch packs gates [r; z; n] in weight_ih/hh; flax splits them into
+    ir/iz/in (with bias) and hr/hz (no bias)/hn (bias). Matching algebra:
+    bias_ir := b_ih_r + b_hh_r (ditto z); in.bias := b_ih_n, hn.bias := b_hh_n.
+    """
+    w_ih = _t(sd[f"{prefix}.weight_ih_l0"])  # [3H, In]
+    w_hh = _t(sd[f"{prefix}.weight_hh_l0"])  # [3H, H]
+    b_ih = _t(sd[f"{prefix}.bias_ih_l0"])
+    b_hh = _t(sd[f"{prefix}.bias_hh_l0"])
+    H = w_hh.shape[1]
+    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    return {
+        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
+        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
+        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+        "hr": {"kernel": w_hh[r].T},
+        "hz": {"kernel": w_hh[z].T},
+        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+    }
+
+
+def apc_params_from_torch(sd: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Map a reference APC state_dict onto models/apc.APCModel."""
+    params: Dict[str, Any] = {}
+    for i in range(num_layers):
+        params[f"cell_{i}"] = _gru_params_from_torch(sd, f"rnn_layers.{i}")
+    params["postnet"] = _linear(sd, "postnet")
+    g = 0
+    while f"vq_layers.{g}.vq_logits.weight" in sd:
+        params[f"vq_{g}"] = {
+            "vq_logits": _linear(sd, f"vq_layers.{g}.vq_logits"),
+            "codebook": _t(sd[f"vq_layers.{g}.codebook_CxE.weight"]).T,
+        }
+        g += 1
+    return params
