@@ -10,6 +10,8 @@ from .translation import StExample, SuperbST
 from .vc import VcExample, VcVcc2020
 from .pretrain import (
     PretrainAPC,
+    PretrainData2Vec,
+    PretrainData2VecExample,
     PretrainAudioAlbert,
     PretrainExample,
     PretrainHubert,

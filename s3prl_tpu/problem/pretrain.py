@@ -396,3 +396,66 @@ class PretrainHubertExample(PretrainHubert):
                 rows.append(dict(id=f"{split}_{i}", wav_path=str(wav_path),
                                  units_path=str(units_path), duration=secs))
             pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)
+
+
+class PretrainData2Vec(PretrainProblem):
+    """data2vec audio pretraining (EMA teacher; reference: upstream/data2vec)."""
+
+    feature_upstream = "wav"
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "build_model": {},
+            "build_task": {
+                "average_top_k_layers": 8, "ema_decay": 0.999,
+                "mask_prob": 0.65, "mask_length": 10,
+            },
+            "build_batch_sampler": {"batch_size": 8},
+            "build_optimizer": {"name": "Adam", "lr": 5.0e-4, "scheduler": "linear_schedule"},
+            "train": {"total_steps": 400000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_task(self, config: dict):
+        from ..models.wav2vec2 import Wav2Vec2Trunk
+        from ..task.data2vec_pretrain import Data2VecPretrainTask
+        from ..upstream.registry import DATA2VEC_BASE
+
+        model_cfg = config.get("build_model", {})
+        cfg = model_cfg.get("cfg", DATA2VEC_BASE)
+        module = Wav2Vec2Trunk(cfg)
+        return Data2VecPretrainTask(module, **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainData2VecExample(PretrainData2Vec):
+    """Smoke test: tiny trunk, pseudo audio, EMA teacher must move."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_train": 6, "num_valid": 2}
+        cfg["build_task"] = {"average_top_k_layers": 2, "ema_decay": 0.9,
+                             "mask_prob": 0.65, "mask_length": 4}
+        cfg["build_batch_sampler"] = {"batch_size": 2}
+        cfg["train"] = {"total_steps": 2, "log_step": 1, "eval_step": 10**9, "save_step": 2}
+        return cfg
+
+    def build_task(self, config: dict):
+        from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+        from ..task.data2vec_pretrain import Data2VecPretrainTask
+
+        tiny = Wav2Vec2Config(
+            conv_feature_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4), (32, 2, 2), (32, 2, 2)),
+            encoder_layers=2, encoder_embed_dim=32,
+            encoder_ffn_embed_dim=64, encoder_attention_heads=4,
+            dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+        )
+        return Data2VecPretrainTask(Wav2Vec2Trunk(tiny), **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        PretrainExample.prepare_data(self, workspace, config)

@@ -124,6 +124,10 @@ class Trainer:
                 )
                 updates, new_opt_state = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
+                if hasattr(task, "post_update"):
+                    # task-owned non-gradient state transitions (e.g. the
+                    # data2vec EMA teacher) run inside the same XLA program
+                    new_params = task.post_update(new_params)
                 return new_params, new_opt_state, loss, cache, optax.global_norm(grads)
 
             return step_fn

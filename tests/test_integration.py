@@ -201,3 +201,18 @@ def test_vc_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert np.isfinite(logs["l1"])
+
+
+def test_data2vec_pretrain_example(tmp_path):
+    """data2vec EMA-teacher pretraining end-to-end on pseudo audio."""
+    import json
+
+    from s3prl_tpu.problem import PretrainData2VecExample
+
+    problem = PretrainData2VecExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    logs = [json.loads(l) for l in (tmp_path / "train" / "metrics.jsonl").read_text().splitlines()]
+    assert logs and all(np.isfinite(l["loss"]) for l in logs)
+    assert all(l["target_var"] > 0 for l in logs)
