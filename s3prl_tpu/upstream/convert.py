@@ -428,3 +428,34 @@ def apc_params_from_torch(sd: Dict[str, Any], num_layers: int) -> Dict[str, Any]
         }
         g += 1
     return params
+
+
+# ---------------------------------------------------------------------------
+# wav2vec 1.0 (reference: s3prl/upstream/wav2vec/wav2vec_model.py —
+# ConvFeatureExtractionModel + ConvAggegator state_dicts)
+# ---------------------------------------------------------------------------
+
+
+def wav2vec1_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map Wav2VecModel feature_extractor/feature_aggregator weights onto
+    models/wav2vec1.Wav2Vec1Model. torch Sequential layout per block:
+    extractor [0]=conv [2]=GroupNorm(1,C); aggregator [0]=pad [1]=conv
+    [3]=GroupNorm(1,C); residual 1x1 projections under residual_proj.{i}."""
+    params: Dict[str, Any] = {}
+    for i in range(len(cfg.conv_feature_layers)):
+        p = f"feature_extractor.conv_layers.{i}"
+        params[f"feat_conv_{i}"] = {"kernel": _t(sd[f"{p}.0.weight"]).transpose(2, 1, 0)}
+        if f"{p}.2.weight" in sd:
+            params[f"feat_gn_{i}"] = _norm(sd, f"{p}.2")
+    for i in range(len(cfg.conv_aggregator_layers)):
+        p = f"feature_aggregator.conv_layers.{i}"
+        conv = {"kernel": _t(sd[f"{p}.1.weight"]).transpose(2, 1, 0)}
+        if f"{p}.1.bias" in sd:
+            conv["bias"] = _t(sd[f"{p}.1.bias"])
+        params[f"agg_conv_{i}"] = conv
+        if f"{p}.3.weight" in sd:
+            params[f"agg_gn_{i}"] = _norm(sd, f"{p}.3")
+        rp = f"feature_aggregator.residual_proj.{i}.weight"
+        if rp in sd:
+            params[f"agg_rproj_{i}"] = {"kernel": _t(sd[rp]).transpose(2, 1, 0)}
+    return params
