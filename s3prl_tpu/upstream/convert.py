@@ -459,3 +459,30 @@ def wav2vec1_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         if rp in sd:
             params[f"agg_rproj_{i}"] = {"kernel": _t(sd[rp]).transpose(2, 1, 0)}
     return params
+
+
+def load_mel_ssl_checkpoint(name: str, path: str):
+    """Load a mockingjay/tera/audio_albert pretraining ckpt -> variables.
+
+    Reference on-the-fly ckpts store {"SelfSupervisedLearning"/"Transformer":
+    state_dict, "Settings"/config}; we accept either that layout or a raw
+    state_dict with `transformer.`/`encoder.layer.` keys.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = None
+    if isinstance(ckpt, dict):
+        for key in ("SelfSupervisedLearning", "Transformer", "model", "state_dict"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                sd = ckpt[key]
+                break
+    if sd is None:
+        sd = ckpt
+    num_layers = 0
+    while any(k.startswith(f"encoder.layer.{num_layers}.") or
+              k.startswith(f"transformer.encoder.layer.{num_layers}.") for k in sd):
+        num_layers += 1
+    share_layer = num_layers <= 1 and any("encoder.layer.0." in k for k in sd)
+    params = mockingjay_params_from_torch(sd, max(num_layers, 1), share_layer and name == "audio_albert")
+    return {"params": params}
