@@ -95,24 +95,28 @@ class NPCModel(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray, train: bool = False):
-        """Returns (hiddens[N, B, T, H] masked-feature aggregates, pred, lens)."""
+        """Returns (hiddens[2N+1, B, T, H], pred, lens) — the reference
+        expert's hook layout (npc/expert.py:28-40): every ConvBlock output,
+        every MaskConvBlock output, then the final aggregated feature."""
         cfg = self.cfg
         x = feats
         agg = None
-        levels = []
+        block_outs, masked_outs = [], []
         mask_size = cfg.mask_size
         for i in range(cfg.n_blocks):
             x = ConvBlock(
                 cfg.hidden_size, cfg.residual and i > 0, cfg.dropout,
                 cfg.batch_norm, cfg.activate, name=f"block_{i}",
             )(x, train=train)
+            block_outs.append(x)
             mask_size += 2
             if cfg.disable_cross_layer and i != cfg.n_blocks - 1:
                 continue
             masked = MaskConvBlock(
                 cfg.hidden_size, cfg.kernel_size, mask_size, name=f"masked_conv_{i}"
             )(x)
+            masked_outs.append(masked)
             agg = masked if agg is None else agg + masked
-            levels.append(agg)
         pred = nn.Dense(cfg.input_size, name="postnet")(agg)
-        return jnp.stack(levels), pred, feat_lens
+        hiddens = jnp.stack(block_outs + masked_outs + [agg])
+        return hiddens, pred, feat_lens

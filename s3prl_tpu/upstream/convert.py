@@ -486,3 +486,48 @@ def load_mel_ssl_checkpoint(name: str, path: str):
     share_layer = num_layers <= 1 and any("encoder.layer.0." in k for k in sd)
     params = mockingjay_params_from_torch(sd, max(num_layers, 1), share_layer and name == "audio_albert")
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# NPC (reference: s3prl/upstream/npc/npc.py — conv blocks with BatchNorm +
+# masked convs; ckpts store {"config", "model"})
+# ---------------------------------------------------------------------------
+
+
+def npc_variables_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map an NPC state_dict onto models/npc.NPCModel (params + batch_stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv1d(prefix):
+        out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _t(sd[f"{prefix}.bias"])
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])},
+            {"mean": _t(sd[f"{prefix}.running_mean"]), "var": _t(sd[f"{prefix}.running_var"])},
+        )
+
+    for i in range(cfg.n_blocks):
+        block_p = {"conv": conv1d(f"blocks.{i}.conv"), "linear": conv1d(f"blocks.{i}.linear")}
+        block_s = {}
+        if cfg.batch_norm:
+            block_p["bn1"], block_s["bn1"] = bn(f"blocks.{i}.bn1")
+            block_p["bn2"], block_s["bn2"] = bn(f"blocks.{i}.bn2")
+        params[f"block_{i}"] = block_p
+        if block_s:
+            stats[f"block_{i}"] = block_s
+        mc = f"masked_convs.{i}.conv"
+        if f"{mc}.weight" in sd:
+            params[f"masked_conv_{i}"] = {
+                "kernel": _t(sd[f"{mc}.weight"]).transpose(2, 1, 0),
+                "bias": _t(sd[f"{mc}.bias"]),
+            }
+    params["postnet"] = _linear(sd, "postnet")
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out

@@ -344,7 +344,7 @@ def npc(**kwargs) -> Upstream:
     cfg = NPCConfig()
     return _feat_encoder_upstream(
         "npc", "mel", lambda dtype: NPCModel(cfg),
-        cfg.n_blocks, cfg.hidden_size, **kwargs,
+        2 * cfg.n_blocks + 1, cfg.hidden_size, **kwargs,
     )
 
 

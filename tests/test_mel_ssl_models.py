@@ -19,7 +19,7 @@ from s3prl_tpu.util.pseudo_data import pseudo_batch
         ("audio_albert", 4, 768),
         ("apc", 3, 512),
         ("vq_apc", 3, 512),
-        ("npc", 4, 512),
+        ("npc", 9, 512),
     ],
 )
 def test_mel_ssl_upstream_forward(name, num_layers, hidden):
