@@ -1,5 +1,5 @@
 from .base import Problem
-from .common import CommonExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
+from .common import CommonExample, IcExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD

@@ -343,3 +343,36 @@ class CommonExample(CommonProblem):
                          label=labels[i % len(labels)], duration=secs)
                 )
             pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)
+
+
+class IcExample(SuperbIC):
+    """Smoke-test multi-head intent classification on pseudo audio."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_train": 8, "num_valid": 4, "num_test": 4}
+        cfg["build_downstream"] = {"hidden_size": 16}
+        cfg["build_batch_sampler"] = {"batch_size": 4}
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 2, "save_step": 2}
+        return cfg
+
+    def prepare_data(self, workspace: Path, config: dict):
+        import numpy as np
+
+        from ..util.pseudo_data import _write_wav
+
+        cfg = config.get("prepare_data", {})
+        rng = np.random.RandomState(0)
+        wav_dir = workspace / "wavs"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        actions, objects, locations = ["on", "off"], ["lights", "music"], ["kitchen", "none"]
+        for split, n in [("train", cfg.get("num_train", 8)), ("valid", cfg.get("num_valid", 4)), ("test", cfg.get("num_test", 4))]:
+            rows = []
+            for i in range(n):
+                wav = (rng.randn(int(16000 * rng.uniform(0.4, 0.8))) * 0.1).astype(np.float32)
+                p = wav_dir / f"{split}_{i}.wav"
+                _write_wav(p, wav)
+                rows.append(dict(id=f"{split}_{i}", wav_path=str(p),
+                                 action=actions[i % 2], object=objects[(i // 2) % 2],
+                                 location=locations[i % 2]))
+            pd.DataFrame(rows).to_csv(workspace / f"{split}.csv", index=False)

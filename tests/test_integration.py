@@ -216,3 +216,17 @@ def test_data2vec_pretrain_example(tmp_path):
     logs = [json.loads(l) for l in (tmp_path / "train" / "metrics.jsonl").read_text().splitlines()]
     assert logs and all(np.isfinite(l["loss"]) for l in logs)
     assert all(l["target_var"] > 0 for l in logs)
+
+
+def test_ic_example(tmp_path):
+    """Multi-head IC end-to-end (action/object/location heads)."""
+    import yaml as _yaml
+
+    from s3prl_tpu.problem import IcExample
+
+    problem = IcExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["accuracy"] <= 1.0
