@@ -51,6 +51,11 @@ class Wav2Vec2Config:
     dropout_input: float = 0.1
     encoder_layerdrop: float = 0.0
     layer_type: str = "transformer"  # "transformer" | "conformer"
+    # data2vec variants: projection exists even at equal dims, and the
+    # feature padding mask uses strict conv arithmetic instead of hubert's
+    # block-folded rule (data2vec_model.py:247, 457-470)
+    post_extract_proj_always: bool = False
+    feat_pad_rule: str = "block"  # "block" (hubert) | "conv" (data2vec)
     # wave normalization (fairseq task cfg `normalize`; True for Large models)
     normalize: bool = False
 
@@ -123,13 +128,18 @@ class Wav2Vec2Trunk(nn.Module):
         # ceil(wav_len / r) valid frames, one more than strict conv
         # arithmetic near the boundary. Replicated exactly for parity.
         t_feat = features.shape[1]
-        r = max(wavs.shape[1] // max(t_feat, 1), 1)
-        feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
+        if cfg.feat_pad_rule == "conv":
+            feat_lens = jnp.minimum(
+                conv_output_lengths(wav_lens, cfg.conv_feature_layers), t_feat
+            )
+        else:
+            r = max(wavs.shape[1] // max(t_feat, 1), 1)
+            feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
 
         features = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(features)
         features = features.astype(self.dtype)
         embed = cfg.conv_feature_layers[-1][0]
-        if embed != cfg.encoder_embed_dim:
+        if cfg.post_extract_proj_always or embed != cfg.encoder_embed_dim:
             features = nn.Dense(
                 cfg.encoder_embed_dim, dtype=self.dtype, name="post_extract_proj"
             )(features)

@@ -111,15 +111,29 @@ def trunk_params_from_torch(sd: Dict[str, Any], cfg: Wav2Vec2Config) -> Dict[str
 
     # --- encoder ---
     enc: Dict[str, Any] = {}
-    if "encoder.pos_conv.0.weight_g" in sd:
+    if "encoder.pos_conv.0.0.weight" in sd:
+        # data2vec-style depth-N pos-conv stack (blocks of conv+LN(no affine))
+        pos: Dict[str, Any] = {}
+        i = 0
+        while f"encoder.pos_conv.{i}.0.weight" in sd:
+            pos[f"conv_{i}"] = {
+                "kernel": _t(sd[f"encoder.pos_conv.{i}.0.weight"]).transpose(2, 1, 0),
+                "bias": _t(sd[f"encoder.pos_conv.{i}.0.bias"]),
+            }
+            i += 1
+        enc["pos_conv"] = pos
+    elif "encoder.pos_conv.0.weight_g" in sd:
         w = _fold_weight_norm(
             _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
         )
+        enc["pos_conv"] = {
+            "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+        }
     else:
         w = _t(sd["encoder.pos_conv.0.weight"])
-    enc["pos_conv"] = {
-        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
-    }
+        enc["pos_conv"] = {
+            "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+        }
     enc["layer_norm"] = _norm(sd, "encoder.layer_norm")
 
     L = cfg.encoder_layers

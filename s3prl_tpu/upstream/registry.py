@@ -388,6 +388,8 @@ DATA2VEC_BASE = Wav2Vec2Config(
     dropout=0.0,
     attention_dropout=0.0,
     dropout_input=0.0,
+    post_extract_proj_always=True,
+    feat_pad_rule="conv",
 )
 DATA2VEC_LARGE = Wav2Vec2Config(
     extractor_mode="layer_norm",
@@ -402,6 +404,8 @@ DATA2VEC_LARGE = Wav2Vec2Config(
     dropout=0.0,
     attention_dropout=0.0,
     dropout_input=0.0,
+    post_extract_proj_always=True,
+    feat_pad_rule="conv",
 )
 
 
