@@ -545,3 +545,57 @@ def npc_variables_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# DeCoAR 2.0 (reference: s3prl/upstream/decoar2 — {"model"} ckpts reusing
+# the wav2vec2 TransformerEncoder names)
+# ---------------------------------------------------------------------------
+
+
+def decoar2_params_from_torch(sd: Dict[str, Any]) -> Dict[str, Any]:
+    import jax
+
+    params: Dict[str, Any] = {"post_extract_proj": _linear(sd, "post_extract_proj")}
+    enc: Dict[str, Any] = {}
+    w = _fold_weight_norm(
+        _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
+    )
+    enc["pos_conv"] = {
+        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd["encoder.pos_conv.0.bias"])}
+    }
+    enc["layer_norm"] = _norm(sd, "encoder.layer_norm")
+    per_layer = []
+    i = 0
+    while f"encoder.layers.{i}.fc1.weight" in sd:
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        per_layer.append(
+            {
+                "self_attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+                },
+                "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": _linear(sd, f"{p}.fc1"),
+                "fc2": _linear(sd, f"{p}.fc2"),
+                "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+            }
+        )
+        i += 1
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    params["encoder"] = enc
+    return params
+
+
+def load_decoar2_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return decoar2_params_from_torch(sd)

@@ -454,36 +454,20 @@ def wav2vec1(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
 def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
     """DeCoAR 2.0 (reference: s3prl/upstream/decoar2/decoar2.py): kaldi
     fbank-80 -> Dense(768) -> 12-layer post-LN conv-pos transformer."""
-    import flax.linen as nn
-
     from ..models.baseline import baseline_features
-    from ..models.transformer import TransformerEncoder
-
-    class Decoar2Model(nn.Module):
-        dt: jnp.dtype = jnp.float32
-
-        @nn.compact
-        def __call__(self, feats, feat_lens, deterministic=True):
-            from ..ops.masking import length_mask
-
-            x = nn.Dense(768, dtype=self.dt, name="post_extract_proj")(feats)
-            x = nn.Dropout(0.1)(x, deterministic=deterministic)
-            pad = ~length_mask(feat_lens, x.shape[1])
-            _, hs = TransformerEncoder(
-                embed_dim=768, ffn_dim=3072, num_layers=12, num_heads=12,
-                layer_norm_first=False, dropout=0.1, attention_dropout=0.1,
-                dtype=self.dt, name="encoder",
-            )(x, pad, deterministic=deterministic)
-            return hs, feat_lens
+    from ..models.decoar2 import Decoar2Model
 
     model = Decoar2Model(dtype)
     if ckpt is not None:
-        raise NotImplementedError("decoar2 ckpt conversion lands with the converter pass")
-    logger.info("decoar2: no ckpt given — random initialization")
-    feats = jnp.zeros((1, 98, 80), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, feats, jnp.asarray([98]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_decoar2_checkpoint
+
+        params = load_decoar2_checkpoint(ckpt)
+    else:
+        logger.info("decoar2: no ckpt given — random initialization")
+        feats = jnp.zeros((1, 98, 80), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, feats, jnp.asarray([98]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         feats, feat_lens = baseline_features(
