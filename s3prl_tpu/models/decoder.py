@@ -9,10 +9,7 @@ post-LN blocks, tied output projection optional).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .mockingjay import sinusoid_table

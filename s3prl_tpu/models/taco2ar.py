@@ -15,7 +15,6 @@ from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

@@ -14,11 +14,9 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 from .common import CommonProblem
-from ..data.dataset import UtteranceClassificationDataset
 from ..nn.heads import UtteranceLevel
 from ..nn.upstream import SUpstream, UpstreamDownstreamModel
 from ..task.hear import ScenePredictionTask

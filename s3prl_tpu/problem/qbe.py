@@ -16,7 +16,6 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-import yaml
 
 from .base import Problem
 from ..data.dataset import _CsvDataset

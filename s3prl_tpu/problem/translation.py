@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-import flax.linen as nn
 import numpy as np
 import pandas as pd
 import yaml

@@ -24,8 +24,7 @@ from ..data.dataset import _CsvDataset
 from ..data.loader import DataLoader
 from ..data.sampler import FixedBatchSizeBatchSampler
 from ..models.taco2ar import Taco2ARConfig, Taco2ARDecoder
-from ..nn.upstream import SUpstream, UpstreamDownstreamModel
-from ..nn.heads import FrameLevelLinear
+from ..nn.upstream import SUpstream
 from ..ops import audio as audio_ops
 from ..task.voice_conversion import VoiceConversionTask
 from ..train.trainer import Trainer, TrainerConfig
