@@ -3,7 +3,7 @@ from .common import CommonExample, IcExample, SuperbER, SuperbIC, SuperbKS, Supe
 from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD
-from .hear import HearScene
+from .hear import HearEvent, HearEventExample, HearScene
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST

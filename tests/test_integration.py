@@ -230,3 +230,15 @@ def test_ic_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert 0.0 <= logs["accuracy"] <= 1.0
+
+
+def test_hear_event_example(tmp_path):
+    """HEAR timestamp task end-to-end: frame BCE + event-F1 eval."""
+    from s3prl_tpu.problem import HearEventExample
+
+    problem = HearEventExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["event_f1"] <= 1.0
