@@ -599,3 +599,46 @@ def load_decoar2_checkpoint(path: str) -> Dict[str, Any]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return decoar2_params_from_torch(sd)
+
+
+# ---------------------------------------------------------------------------
+# AST / SSAST (reference: s3prl/upstream/ssast/ast_models.py — timm ViT
+# state_dicts: patch_embed.proj, cls_token, pos_embed, blocks.{i}.*)
+# ---------------------------------------------------------------------------
+
+
+def ast_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]:
+    """Map a timm-format ViT/AST state_dict onto models/ast.ASTEncoder.
+
+    Prefix-tolerant: accepts both bare timm keys and the reference's
+    `v.`-prefixed (module.v) layout. No parity test is possible in this
+    environment (the reference AST requires the timm package, absent here);
+    the mapping is validated structurally by the roundtrip unit test.
+    """
+    if any(k.startswith("v.") for k in sd):
+        sd = {k[2:]: v for k, v in sd.items() if k.startswith("v.")} | {
+            k: v for k, v in sd.items() if not k.startswith("v.")
+        }
+    params: Dict[str, Any] = {
+        # timm conv2d [out, in, kh, kw] -> flax [kh, kw, in, out]
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _t(sd["cls_token"]).reshape(1, 1, -1),
+        "pos_embed": _t(sd["pos_embed"]),
+        "norm": _norm(sd, "norm"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "self_attn_layer_norm": _norm(sd, f"{p}.norm1"),
+            "self_attn": {
+                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "out_proj": _linear(sd, f"{p}.attn.proj"),
+            },
+            "final_layer_norm": _norm(sd, f"{p}.norm2"),
+            "fc1": _linear(sd, f"{p}.mlp.fc1"),
+            "fc2": _linear(sd, f"{p}.mlp.fc2"),
+        }
+    return params

@@ -198,3 +198,52 @@ def test_conformer_upstream():
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
     assert hs.shape[0] == 13 and hs.shape[-1] == 768
     assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_ast_converter_roundtrip():
+    """A synthetic timm-format state_dict must land exactly on the ASTEncoder
+    param tree (structure + shapes + values)."""
+    import jax
+    from s3prl_tpu.models.ast import ASTConfig, ASTEncoder
+    from s3prl_tpu.upstream.convert import ast_params_from_torch
+
+    cfg = ASTConfig(embed_dim=32, depth=2, num_heads=4, input_tdim=40, input_fdim=32,
+                    fshape=16, tshape=16, fstride=16, tstride=16)
+    model = ASTEncoder(cfg)
+    fb = jnp.zeros((1, cfg.input_tdim, cfg.input_fdim), jnp.float32)
+    target = jax.jit(lambda k: model.init(k, fb, deterministic=True))(jax.random.key(0))["params"]
+
+    rng = np.random.RandomState(0)
+    n_patches = cfg.f_patches * cfg.t_patches
+
+    def t(*shape):
+        import torch
+        return torch.from_numpy(rng.randn(*shape).astype(np.float32))
+
+    import torch
+    sd = {
+        "patch_embed.proj.weight": t(32, 1, cfg.tshape, cfg.fshape),
+        "patch_embed.proj.bias": t(32),
+        "cls_token": t(1, 1, 32),
+        "pos_embed": t(1, n_patches + 1, 32),
+        "norm.weight": t(32), "norm.bias": t(32),
+    }
+    for i in range(2):
+        p = f"blocks.{i}"
+        sd |= {
+            f"{p}.norm1.weight": t(32), f"{p}.norm1.bias": t(32),
+            f"{p}.attn.qkv.weight": t(96, 32), f"{p}.attn.qkv.bias": t(96),
+            f"{p}.attn.proj.weight": t(32, 32), f"{p}.attn.proj.bias": t(32),
+            f"{p}.norm2.weight": t(32), f"{p}.norm2.bias": t(32),
+            f"{p}.mlp.fc1.weight": t(128, 32), f"{p}.mlp.fc1.bias": t(128),
+            f"{p}.mlp.fc2.weight": t(32, 128), f"{p}.mlp.fc2.bias": t(32),
+        }
+    converted = ast_params_from_torch(sd, depth=2)
+    # structure + shapes match the init tree exactly
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_equal(np.asarray(a).shape, np.asarray(b).shape),
+        target, converted,
+    )
+    # and the model runs with converted weights
+    hs = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, converted)}, fb, deterministic=True)
+    assert np.isfinite(np.asarray(hs)).all()
