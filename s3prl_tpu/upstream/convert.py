@@ -400,6 +400,42 @@ def distiller_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def load_distiller_checkpoint(path: str):
+    """Load a distiller pretraining ckpt -> (DistillerConfig, params).
+
+    Reference layout (s3prl/upstream/distiller/builder.py:41-59): all_states =
+    {"Distiller": state_dict, "Config": {"distiller": model kwargs}}.
+    """
+    import ast as ast_mod
+
+    import torch
+
+    from ..models.distiller import DistillerConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dcfg = ckpt.get("Config", {}).get("distiller", {}) if isinstance(ckpt, dict) else {}
+    sd = ckpt.get("Distiller", ckpt) if isinstance(ckpt, dict) else ckpt
+    conv = dcfg.get(
+        "extractor_conv_feature_layers",
+        "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2",
+    )
+    cfg = DistillerConfig(
+        conv_feature_layers=tuple(tuple(c) for c in ast_mod.literal_eval(str(conv))),
+        extractor_mode=str(dcfg.get("extractor_mode", "default")),
+        encoder_layers=int(dcfg.get("encoder_layers", 2)),
+        encoder_embed_dim=int(dcfg.get("encoder_embed_dim", 768)),
+        encoder_ffn_embed_dim=int(dcfg.get("encoder_ffn_embed_dim", 3072)),
+        encoder_attention_heads=int(dcfg.get("encoder_attention_heads", 12)),
+        layer_norm_first=bool(dcfg.get("layer_norm_first", False)),
+        conv_pos=int(dcfg.get("conv_pos", 128)),
+        conv_pos_groups=int(dcfg.get("conv_pos_groups", 16)),
+        final_dim=int(dcfg.get("final_dim", 768)),
+        n_tasks=int(dcfg.get("n_tasks", 12)),
+        out_layer_inter_dim=int(dcfg.get("out_layer_inter_dim", -1)),
+    )
+    return cfg, distiller_params_from_torch(sd, cfg)
+
+
 # ---------------------------------------------------------------------------
 # APC / VQ-APC (reference: s3prl/upstream/apc — torch GRU stacks)
 # ---------------------------------------------------------------------------
@@ -472,7 +508,82 @@ def wav2vec1_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         rp = f"feature_aggregator.residual_proj.{i}.weight"
         if rp in sd:
             params[f"agg_rproj_{i}"] = {"kernel": _t(sd[rp]).transpose(2, 1, 0)}
+    # vq-wav2vec quantizers (reference: wav2vec_model.py GumbelVectorQuantizer
+    # :1591 in wav2vec2_model.py / KmeansVectorQuantizer :117)
+    if "vector_quantizer.vars" in sd:  # gumbel
+        vq = {"vars": _t(sd["vector_quantizer.vars"])}
+        if "vector_quantizer.weight_proj.weight" in sd:  # depth-1 proj
+            vq["weight_proj"] = _linear(sd, "vector_quantizer.weight_proj")
+        else:  # depth>1 Sequential: blocks of (Linear, act) then final Linear
+            i = 0
+            while f"vector_quantizer.weight_proj.{i}.0.weight" in sd:
+                vq[f"weight_proj_{i}"] = _linear(sd, f"vector_quantizer.weight_proj.{i}.0")
+                i += 1
+            vq["weight_proj"] = _linear(sd, f"vector_quantizer.weight_proj.{i}")
+        params["vq"] = vq
+    elif "vector_quantizer.embedding" in sd:  # kmeans
+        params["vq"] = {
+            "embedding": _t(sd["vector_quantizer.embedding"]),
+            "projection": {
+                "kernel": _t(sd["vector_quantizer.projection.0.weight"]).transpose(2, 1, 0)
+            },
+            "proj_gn": _norm(sd, "vector_quantizer.projection.1"),
+        }
     return params
+
+
+def w2v1_config_from_model_cfg(model_cfg: Dict[str, Any]):
+    """Build a Wav2Vec1Config from an s3prl-converted model_cfg dict
+    (fields of fairseq's Wav2VecConfig, wav2vec_model.py:289-354)."""
+    import ast as ast_mod
+
+    from ..models.wav2vec1 import Wav2Vec1Config
+
+    def layers(key, default):
+        val = model_cfg.get(key, default)
+        return tuple(tuple(c) for c in ast_mod.literal_eval(val)) if isinstance(val, str) else tuple(
+            tuple(c) for c in val
+        )
+
+    return Wav2Vec1Config(
+        conv_feature_layers=layers(
+            "conv_feature_layers",
+            "[(512, 10, 5), (512, 8, 4), (512, 4, 2), (512, 4, 2), (512, 4, 2), (512, 1, 1), (512, 1, 1), (512, 1, 1)]",
+        ),
+        conv_aggregator_layers=layers(
+            "conv_aggregator_layers",
+            "[" + ", ".join(f"(512, {k}, 1)" for k in range(2, 14)) + "]",
+        ),
+        log_compression=bool(model_cfg.get("log_compression", True)),
+        skip_connections_feat=bool(model_cfg.get("skip_connections_feat", False)),
+        skip_connections_agg=bool(model_cfg.get("skip_connections_agg", True)),
+        residual_scale=float(model_cfg.get("residual_scale", 0.5)),
+        non_affine_group_norm=bool(model_cfg.get("non_affine_group_norm", False)),
+        agg_zero_pad=bool(model_cfg.get("agg_zero_pad", False)),
+        conv_bias=not bool(model_cfg.get("no_conv_bias", False)),
+        vq_type=str(model_cfg.get("vq_type", "none")),
+        vq_vars=int(model_cfg.get("vq_vars", 320)),
+        vq_groups=int(model_cfg.get("vq_groups", 2)),
+        vq_dim=int(model_cfg.get("vq_dim", 0)),
+        vq_depth=int(model_cfg.get("vq_depth", 1)),
+        combine_groups=bool(model_cfg.get("combine_groups", False)),
+    )
+
+
+def load_wav2vec1_checkpoint(path: str):
+    """Load an s3prl-converted wav2vec/vq-wav2vec ckpt
+    ({"task_cfg","model_cfg","model_weight"}, reference wav2vec/convert.py)
+    -> (Wav2Vec1Config, params)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_weight" in ckpt:
+        sd = ckpt["model_weight"]
+        cfg = w2v1_config_from_model_cfg(ckpt.get("model_cfg", {}))
+    else:
+        sd = ckpt
+        cfg = w2v1_config_from_model_cfg({})
+    return cfg, wav2vec1_params_from_torch(sd, cfg)
 
 
 def load_mel_ssl_checkpoint(name: str, path: str):
@@ -642,3 +753,21 @@ def ast_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]
             "fc2": _linear(sd, f"{p}.mlp.fc2"),
         }
     return params
+
+
+def load_ast_checkpoint(path: str, depth: int = 12) -> Dict[str, Any]:
+    """Load an SSAST/AST ckpt (raw timm-format state_dict, possibly saved from
+    DataParallel with a `module.` prefix; reference ssast/ast_models.py:217)
+    -> ASTEncoder params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt
+    if isinstance(ckpt, dict) and not any("patch_embed" in k for k in ckpt):
+        for key in ("model", "state_dict", "module"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                sd = ckpt[key]
+                break
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    return ast_params_from_torch(sd, depth=depth)

@@ -359,15 +359,19 @@ def npc(**kwargs) -> Upstream:
 def distilhubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
     from ..models.distiller import DistillerConfig, DistillerModel
 
-    cfg = DistillerConfig()
-    model = DistillerModel(cfg, dtype=dtype)
     if ckpt is not None:
-        raise NotImplementedError("distiller ckpt conversion lands with the converter pass")
-    logger.info("distilhubert: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_distiller_checkpoint
+
+        cfg, params = load_distiller_checkpoint(ckpt)
+        model = DistillerModel(cfg, dtype=dtype)
+    else:
+        cfg = DistillerConfig()
+        model = DistillerModel(cfg, dtype=dtype)
+        logger.info("distilhubert: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
@@ -425,29 +429,41 @@ def data2vec_large(**kwargs) -> Upstream:
 # ---------------------------------------------------------------------------
 
 
-@register("wav2vec")
-@register("wav2vec_large")
-def wav2vec1(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
-    from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+def _w2v1_upstream(name, default_cfg, ckpt=None, dtype=jnp.float32, seed=0, **kwargs):
+    from ..models.wav2vec1 import Wav2Vec1Model
 
-    cfg = Wav2Vec1Config()
-    model = Wav2Vec1Model(cfg, dtype=dtype)
     if ckpt is not None:
-        raise NotImplementedError("wav2vec1 ckpt conversion lands with the converter pass")
-    logger.info("wav2vec: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_wav2vec1_checkpoint
+
+        cfg, params = load_wav2vec1_checkpoint(ckpt)
+        model = Wav2Vec1Model(cfg, dtype=dtype)
+    else:
+        cfg = default_cfg
+        model = Wav2Vec1Model(cfg, dtype=dtype)
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        rngs = {"params": jax.random.key(seed), "gumbel": jax.random.key(seed + 1)}
+        params = jax.jit(
+            lambda r: model.init(r, probe, jnp.asarray([16000]), deterministic=True)
+        )(rngs)["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
     n_layers = 1 + (len(cfg.conv_aggregator_layers) - 1) + 1
     return Upstream(
-        name="wav2vec", apply_fn=apply_fn, params=params,
-        num_layers=n_layers, hidden_size=512, downsample_rate=cfg.downsample_rate,
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=n_layers, hidden_size=cfg.conv_aggregator_layers[-1][0],
+        downsample_rate=cfg.downsample_rate,
     )
+
+
+@register("wav2vec")
+@register("wav2vec_large")
+def wav2vec1(**kwargs) -> Upstream:
+    from ..models.wav2vec1 import Wav2Vec1Config
+
+    return _w2v1_upstream("wav2vec", Wav2Vec1Config(), **kwargs)
 
 
 @register("decoar2")
@@ -637,12 +653,15 @@ def _ast_upstream(name, cfg, ckpt=None, dtype=jnp.float32, seed=0, **kwargs):
 
     model = ASTEncoder(cfg, dtype=dtype)
     if ckpt is not None:
-        raise NotImplementedError("AST ckpt conversion lands with the converter pass")
-    logger.info(f"{name}: no ckpt given — random initialization")
-    fb = jnp.zeros((1, cfg.input_tdim, cfg.input_fdim), jnp.float32)
-    params = jax.jit(lambda k: model.init(k, fb, deterministic=True))(
-        jax.random.key(seed)
-    )["params"]
+        from .convert import load_ast_checkpoint
+
+        params = load_ast_checkpoint(ckpt, depth=cfg.depth)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        fb = jnp.zeros((1, cfg.input_tdim, cfg.input_fdim), jnp.float32)
+        params = jax.jit(lambda k: model.init(k, fb, deterministic=True))(
+            jax.random.key(seed)
+        )["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return ast_windows_forward(model, params, wavs, wav_lens, cfg, deterministic=not train)
@@ -829,42 +848,23 @@ def decoar(ckpt=None, seed=0, **kwargs) -> Upstream:
 
 @register("vq_wav2vec")
 @register("vq_wav2vec_gumbel")
-def vq_wav2vec(ckpt=None, seed=0, **kwargs) -> Upstream:
+def vq_wav2vec(**kwargs) -> Upstream:
     """vq-wav2vec (reference: s3prl/upstream/wav2vec/wav2vec_model.py with a
-    Gumbel/k-means quantizer between z and the aggregator): the wav2vec 1.0
-    conv stack whose features are vector-quantized before aggregation."""
-    import flax.linen as nn
+    Gumbel/k-means quantizer between z and the aggregator, expert.py:49-57);
+    the ckpt's model_cfg selects gumbel vs kmeans via `vq_type`."""
+    from ..models.wav2vec1 import Wav2Vec1Config
 
-    from ..models.apc import VQLayer
-    from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+    return _w2v1_upstream(
+        "vq_wav2vec", Wav2Vec1Config(vq_type="gumbel", vq_dim=512), **kwargs
+    )
 
-    cfg = Wav2Vec1Config()
-    inner = Wav2Vec1Model(cfg)
 
-    class VQWav2Vec(nn.Module):
-        @nn.compact
-        def __call__(self, wavs, wav_lens, deterministic=True):
-            hs, lens = inner.copy(name="w2v")(wavs, wav_lens, deterministic)
-            _, q = VQLayer(codebook_size=320, code_dim=512, name="vq")(hs[0], train=False)
-            hs = hs.at[0].set(q)
-            return hs, lens
+@register("vq_wav2vec_kmeans")
+def vq_wav2vec_kmeans(**kwargs) -> Upstream:
+    from ..models.wav2vec1 import Wav2Vec1Config
 
-    model = VQWav2Vec()
-    if ckpt is not None:
-        raise NotImplementedError("vq_wav2vec ckpt conversion lands with the converter pass")
-    logger.info("vq_wav2vec: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
-
-    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
-        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
-
-    n_layers = 1 + (len(cfg.conv_aggregator_layers) - 1) + 1
-    return Upstream(
-        name="vq_wav2vec", apply_fn=apply_fn, params=params,
-        num_layers=n_layers, hidden_size=512, downsample_rate=cfg.downsample_rate,
+    return _w2v1_upstream(
+        "vq_wav2vec_kmeans", Wav2Vec1Config(vq_type="kmeans", vq_dim=512), **kwargs
     )
 
 

@@ -89,3 +89,38 @@ def test_distiller_parity():
             np.testing.assert_allclose(
                 hs[l, b, :n], ref_layer[b, :n], atol=5e-4, err_msg=f"state {l} b {b}"
             )
+
+
+def test_distiller_ckpt_roundtrip(tmp_path):
+    """hub.load('distilhubert', ckpt=...) consumes a distiller pretraining
+    ckpt ({"Distiller","Config"}, reference builder.py:41-59)."""
+    from s3prl.upstream.distiller.model import (
+        DistillerConfig as RefCfg,
+        DistillerModel as RefModel,
+    )
+
+    dcfg = {
+        "extractor_conv_feature_layers": "[(64, 10, 5), (64, 3, 2), (64, 2, 2)]",
+        "encoder_layers": 2,
+        "encoder_embed_dim": 64,
+        "encoder_ffn_embed_dim": 128,
+        "encoder_attention_heads": 4,
+        "conv_pos": 16,
+        "conv_pos_groups": 4,
+        "final_dim": 64,
+        "n_tasks": 3,
+        "pred_layer_id": [1, 2, 3],
+        "out_layer_inter_dim": 32,
+    }
+    torch.manual_seed(2)
+    ref = RefModel(RefCfg(dcfg))
+    path = tmp_path / "distiller.ckpt"
+    torch.save({"Distiller": ref.state_dict(), "Config": {"distiller": dcfg}}, path)
+
+    from s3prl_tpu import hub
+
+    up = hub.load("distilhubert", ckpt=str(path))
+    wav = np.random.RandomState(0).randn(1, 8000).astype(np.float32)
+    hs, _ = up.apply_standardized(up.params, jnp.asarray(wav), jnp.asarray([8000]))
+    assert hs.shape[0] == up.num_layers == 1 + 2 + 3
+    assert hs.shape[-1] == up.hidden_size == 64

@@ -1,0 +1,222 @@
+"""Component-attribution benchmark for the HuBERT-Large extraction path.
+
+The axon tunnel has no working xprof device trace, so attribution is done by
+benchmarking each pipeline stage in isolation with the on-device fori_loop +
+host-fetch timing pattern (see bench.py for why host-side timing lies here).
+
+Components (env COMP=comma list, default all):
+  matmul   - sustained bf16 TFLOP/s at the encoder's exact GEMM shapes
+  conv     - ConvFeatureExtractor alone on the bench batch
+  posconv  - conv positional embedding alone
+  encoder  - 24-layer transformer alone on pre-extracted features
+  full     - the whole standardized path (same as bench.py)
+
+Each prints one JSON line: {"component", "ms_per_iter", "tflops", "notes"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = int(os.environ.get("BENCH_BATCH", 32))
+SECS = float(os.environ.get("BENCH_SECS", 10.0))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+T_WAV = int(16000 * SECS)
+T_FEAT = (T_WAV - 400) // 320 + 1  # hubert conv stack stride 320, rf 400
+C, FFN, L, H = 1024, 4096, 24, 16
+DT = jnp.bfloat16
+
+
+def timeit(fn, *args):
+    """fn must return a scalar; on-device loop with data dependency."""
+    out = fn(*args)
+    float(np.asarray(out))  # compile + warmup
+    t0 = time.perf_counter()
+    float(np.asarray(fn(*args)))
+    return (time.perf_counter() - t0) / ITERS
+
+
+def report(component, ms, flops_per_iter, notes=""):
+    print(
+        json.dumps(
+            {
+                "component": component,
+                "ms_per_iter": round(ms * 1e3, 2),
+                "tflops": round(flops_per_iter / ms / 1e12, 1),
+                "notes": notes,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_matmul():
+    """The encoder's own GEMMs, chained: qkv, out, fc1, fc2 at [B*T, ...]."""
+    M = B * T_FEAT
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(M, C).astype(np.float32), DT)
+    w_qkv = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.02, DT)
+    w_out = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.02, DT)
+    w_fc1 = jnp.asarray(rng.randn(C, FFN).astype(np.float32) * 0.02, DT)
+    w_fc2 = jnp.asarray(rng.randn(FFN, C).astype(np.float32) * 0.02, DT)
+
+    @jax.jit
+    def loop(x):
+        def body(i, h):
+            a = h @ w_qkv
+            h = a[:, :C] + a[:, C : 2 * C] * 1e-3
+            h = (h @ w_out) @ w_fc1 @ w_fc2
+            return h * (1.0 / (1.0 + jnp.float32(i).astype(DT)))
+
+        h = jax.lax.fori_loop(0, ITERS, body, x)
+        return h[0, 0].astype(jnp.float32)
+
+    ms = timeit(loop, x)
+    flops = 2 * M * (C * 3 * C + C * C + C * FFN + FFN * C)
+    report("matmul", ms, flops, f"M={M} chained qkv/out/fc1/fc2")
+
+
+def bench_conv():
+    from s3prl_tpu.models.convfe import ConvFeatureExtractor, DEFAULT_CONV_LAYERS
+
+    layers = tuple((512, k, s) for (_, k, s) in DEFAULT_CONV_LAYERS)
+    mod = ConvFeatureExtractor(layers, "layer_norm", False, DT)
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
+    params = jax.jit(mod.init)(jax.random.key(0), wavs)
+
+    @jax.jit
+    def loop(params, wavs):
+        def body(i, carry):
+            w, acc = carry
+            f = mod.apply(params, w)
+            dep = 0.0 * f[:, 0, :1].astype(w.dtype).mean(-1, keepdims=True)
+            return (w + dep, acc + f[0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (wavs, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, params, wavs)
+    # MACs: per conv layer, out_T * C_in * C_out * k
+    t = T_WAV
+    cin = 1
+    macs = 0
+    for c, k, s in layers:
+        t = (t - k) // s + 1
+        macs += t * cin * c * k
+        cin = c
+    report("conv", ms, 2 * macs * B, f"out_T={t}")
+
+
+def bench_posconv():
+    from s3prl_tpu.models.transformer import ConvPositionalEmbedding
+
+    mod = ConvPositionalEmbedding(C, 128, 16, 1, DT)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T_FEAT, C).astype(np.float32), DT)
+    params = jax.jit(mod.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def loop(params, x):
+        def body(i, carry):
+            h, acc = carry
+            f = mod.apply(params, h)
+            dep = 0.0 * f[:, :1, :1].astype(h.dtype).mean(-1, keepdims=True)
+            return (h + dep, acc + f[0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, params, x)
+    macs = B * T_FEAT * 128 * (C // 16) * C  # grouped conv
+    report("posconv", ms, 2 * macs, "k=128 g=16")
+
+
+def bench_encoder(flash: bool):
+    from s3prl_tpu.models.transformer import TransformerEncoder
+
+    mod = TransformerEncoder(
+        embed_dim=C, ffn_dim=FFN, num_layers=L, num_heads=H,
+        layer_norm_first=True, dropout=0.0, attention_dropout=0.0,
+        use_flash=flash, dtype=DT,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T_FEAT, C).astype(np.float32), DT)
+    params = jax.jit(mod.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def loop(params, x):
+        def body(i, carry):
+            h, acc = carry
+            _, hs = mod.apply(params, h)
+            dep = 0.0 * hs[-1, :, :1, :1].astype(h.dtype).mean(-1, keepdims=True)
+            return (h + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, params, x)
+    per_tok = 2 * (C * 3 * C + C * C + C * FFN + FFN * C)
+    attn = 2 * 2 * T_FEAT * C  # scores + pv per token
+    flops = B * T_FEAT * L * (per_tok + attn)
+    report(f"encoder_{'flash' if flash else 'xla'}", ms, flops, f"T={T_FEAT}")
+
+
+def bench_full():
+    from s3prl_tpu import hub
+
+    up = hub.load("hubert_large_ll60k", dtype=DT, flash=os.environ.get("BENCH_FLASH", "1") == "1")
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
+    lens = jnp.full((B,), T_WAV, jnp.int32)
+
+    @jax.jit
+    def loop(params, wavs, lens):
+        def body(i, carry):
+            w, acc = carry
+            hs, _ = up.apply_standardized(params, w, lens)
+            dep = 0.0 * hs[-1, :, 0, :1].astype(w.dtype).mean(-1, keepdims=True)
+            return (w + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (wavs, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, up.params, wavs, lens)
+    per_tok = 2 * (C * 3 * C + C * C + C * FFN + FFN * C)
+    attn = 2 * 2 * T_FEAT * C
+    flops = B * T_FEAT * L * (per_tok + attn)  # encoder only, for MFU ref
+    report("full", ms, flops, f"audio-sec/s={B * SECS / ms:.0f}")
+
+
+if __name__ == "__main__":
+    comps = os.environ.get("COMP", "matmul,conv,posconv,encoder,full").split(",")
+    for c in comps:
+        c = c.strip()
+        try:
+            if c == "matmul":
+                bench_matmul()
+            elif c == "conv":
+                bench_conv()
+            elif c == "posconv":
+                bench_posconv()
+            elif c == "encoder":
+                bench_encoder(flash=True)
+            elif c == "encoder_xla":
+                bench_encoder(flash=False)
+            elif c == "full":
+                bench_full()
+        except Exception as e:  # keep going; one component failing is itself data
+            print(json.dumps({"component": c, "error": repr(e)}), flush=True)
