@@ -206,6 +206,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     use_flash: bool = False
     layer_type: str = "transformer"  # "transformer" | "conformer"
+    use_pos_conv: bool = True  # skip_pos_conv variant (wav2vec2_model.py:3026-3028)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -228,10 +229,11 @@ class TransformerEncoder(nn.Module):
         """
         if key_padding_mask is not None:
             x = jnp.where(key_padding_mask[..., None], 0.0, x)
-        x = x + ConvPositionalEmbedding(
-            self.embed_dim, self.conv_pos, self.conv_pos_groups,
-            self.pos_conv_depth, self.dtype, name="pos_conv",
-        )(x)
+        if self.use_pos_conv:
+            x = x + ConvPositionalEmbedding(
+                self.embed_dim, self.conv_pos, self.conv_pos_groups,
+                self.pos_conv_depth, self.dtype, name="pos_conv",
+            )(x)
         if not self.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -586,6 +586,90 @@ def load_wav2vec1_checkpoint(path: str):
     return cfg, wav2vec1_params_from_torch(sd, cfg)
 
 
+def _lstm_params_from_torch(sd: Dict[str, Any], prefix: str, layer: int = 0) -> Dict[str, Any]:
+    """torch nn.LSTM layer k -> flax OptimizedLSTMCell param tree.
+
+    torch packs gates [i; f; g; o] in weight_ih_l{k}/weight_hh_l{k}; flax
+    splits them into ii/if/ig/io (input, no bias) and hi/hf/hg/ho (hidden,
+    bias). Matching algebra: h{g}.bias := b_ih_{g} + b_hh_{g}.
+    """
+    w_ih = _t(sd[f"{prefix}.weight_ih_l{layer}"])  # [4H, In]
+    w_hh = _t(sd[f"{prefix}.weight_hh_l{layer}"])  # [4H, H]
+    b_ih = _t(sd[f"{prefix}.bias_ih_l{layer}"])
+    b_hh = _t(sd[f"{prefix}.bias_hh_l{layer}"])
+    H = w_hh.shape[1]
+    gates = {"i": slice(0, H), "f": slice(H, 2 * H), "g": slice(2 * H, 3 * H), "o": slice(3 * H, 4 * H)}
+    out: Dict[str, Any] = {}
+    for g, sl in gates.items():
+        out[f"i{g}"] = {"kernel": w_ih[sl].T}
+        out[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b_ih[sl] + b_hh[sl]}
+    return out
+
+
+def _gru_layer_params_from_torch(sd: Dict[str, Any], prefix: str, layer: int) -> Dict[str, Any]:
+    """torch nn.GRU layer k -> flax GRUCell param tree (see _gru_params_from_torch)."""
+    w_ih = _t(sd[f"{prefix}.weight_ih_l{layer}"])
+    w_hh = _t(sd[f"{prefix}.weight_hh_l{layer}"])
+    b_ih = _t(sd[f"{prefix}.bias_ih_l{layer}"])
+    b_hh = _t(sd[f"{prefix}.bias_hh_l{layer}"])
+    H = w_hh.shape[1]
+    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    return {
+        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
+        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
+        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+        "hr": {"kernel": w_hh[r].T},
+        "hz": {"kernel": w_hh[z].T},
+        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+    }
+
+
+# ---------------------------------------------------------------------------
+# CPC (reference: s3prl/upstream/cpc — ckpts {"config", "weights"} with
+# gEncoder.conv{i}/batchNorm{i} + gAR.baseNet torch RNN weights)
+# ---------------------------------------------------------------------------
+
+
+def cpc_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a CPC {"weights"} state_dict onto models/cpc.CPCModel."""
+    params: Dict[str, Any] = {}
+    for i in range(5):
+        params[f"conv_{i}"] = {
+            "kernel": _t(sd[f"gEncoder.conv{i}.weight"]).transpose(2, 1, 0),
+            "bias": _t(sd[f"gEncoder.conv{i}.bias"]),
+        }
+        # ChannelNorm weight/bias are [1, C, 1]
+        params[f"norm_{i}"] = {
+            "scale": _t(sd[f"gEncoder.batchNorm{i}.weight"]).reshape(-1),
+            "bias": _t(sd[f"gEncoder.batchNorm{i}.bias"]).reshape(-1),
+        }
+    for k in range(cfg.ar_layers):
+        if cfg.ar_mode == "lstm":
+            params[f"ar_{k}"] = _lstm_params_from_torch(sd, "gAR.baseNet", k)
+        else:
+            params[f"ar_{k}"] = _gru_layer_params_from_torch(sd, "gAR.baseNet", k)
+    return params
+
+
+def load_cpc_checkpoint(path: str):
+    """Load a CPC ckpt ({"config", "weights"}, cpc/expert.py:27-34)
+    -> (CPCConfig, params)."""
+    import torch
+
+    from ..models.cpc import CPCConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    config = ckpt.get("config", {}) if isinstance(ckpt, dict) else {}
+    sd = ckpt.get("weights", ckpt) if isinstance(ckpt, dict) else ckpt
+    cfg = CPCConfig(
+        hidden_size=int(config.get("hiddenEncoder", 256)),
+        ar_size=int(config.get("hiddenGar", 256)),
+        ar_layers=int(config.get("nLevelsGRU", 1)),
+        ar_mode=str(config.get("arMode", "LSTM")).lower(),
+    )
+    return cfg, cpc_params_from_torch(sd, cfg)
+
+
 def load_mel_ssl_checkpoint(name: str, path: str):
     """Load a mockingjay/tera/audio_albert pretraining ckpt -> variables.
 
@@ -656,6 +740,188 @@ def npc_variables_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# MR-HuBERT (reference: s3prl/upstream/multires_hubert — s3prl-converted
+# ckpts {"task_cfg","model_cfg","model_weight","dictionaries_symbols"})
+# ---------------------------------------------------------------------------
+
+
+def _tx_encoder_params(sd: Dict[str, Any], prefix: str, num_layers: int,
+                       pos_conv: bool) -> Dict[str, Any]:
+    """One wav2vec2-style TransformerEncoder under `prefix` -> our scanned
+    TransformerEncoder param tree."""
+    import jax
+
+    enc: Dict[str, Any] = {"layer_norm": _norm(sd, f"{prefix}.layer_norm")}
+    if pos_conv:
+        w = _fold_weight_norm(
+            _t(sd[f"{prefix}.pos_conv.0.weight_g"]), _t(sd[f"{prefix}.pos_conv.0.weight_v"])
+        )
+        enc["pos_conv"] = {
+            "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd[f"{prefix}.pos_conv.0.bias"])}
+        }
+    per_layer = []
+    for i in range(num_layers):
+        p = f"{prefix}.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        per_layer.append(
+            {
+                "self_attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+                },
+                "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": _linear(sd, f"{p}.fc1"),
+                "fc2": _linear(sd, f"{p}.fc2"),
+                "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+            }
+        )
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    return enc
+
+
+def _gnconv_params(sd: Dict[str, Any], prefix: str, transpose: bool) -> Dict[str, Any]:
+    """ConvAdapter half: Sequential([0]=conv, [2]=Fp32GroupNorm) -> _GNConv."""
+    w = _t(sd[f"{prefix}.0.weight"])
+    if transpose:  # torch ConvTranspose1d [in, out, k] -> flax [k, in, out], flipped
+        kernel = w.transpose(2, 0, 1)[::-1].copy()
+    else:  # torch Conv1d [out, in, k] -> flax [k, in, out]
+        kernel = w.transpose(2, 1, 0)
+    return {"conv": {"kernel": kernel}, "norm": _norm(sd, f"{prefix}.2")}
+
+
+def multires_hubert_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a MultiresHubertModel state_dict onto models/multires_hubert."""
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        conv = {"kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)}
+        if cfg.conv_bias:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+    params["feature_extractor"] = fe
+    params["layer_norm"] = _norm(sd, "layer_norm")
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+
+    blocks = cfg.block_layers
+    n = cfg.n_pairs
+    for i in range(n):
+        params[f"encoders_{i}"] = _tx_encoder_params(
+            sd, f"encoders.{i}", blocks[i], pos_conv=(i == 0)
+        )
+        params[f"decoders_{i}"] = _tx_encoder_params(
+            sd, f"decoders.{i}", blocks[n + 1 + i], pos_conv=False
+        )
+        if cfg.use_plain_updownsample:
+            params[f"downsample_{i}"] = {
+                "downsample_conv": _gnconv_params(
+                    sd, f"downsample_modules.{i}.downsample_conv", transpose=False
+                )
+            }
+            params[f"upsample_{i}"] = {
+                "upsample_conv": _gnconv_params(
+                    sd, f"upsample_modules.{i}.upsample_conv", transpose=True
+                )
+            }
+        else:
+            for ours, theirs in ((f"downsample_{i}", f"downsample_modules.{i}"),
+                                 (f"upsample_{i}", f"upsample_modules.{i}")):
+                params[ours] = {
+                    "upsample_conv": _gnconv_params(sd, f"{theirs}.upsample_conv", True),
+                    "downsample_conv": _gnconv_params(sd, f"{theirs}.downsample_conv", False),
+                }
+    params["middle_encoder"] = _tx_encoder_params(
+        sd, "middle_encoder", blocks[n], pos_conv=(n == 0)
+    )
+    return params
+
+
+def multires_config_from_model_cfg(model_cfg: Dict[str, Any], task_cfg: Dict[str, Any] = None):
+    import ast as ast_mod
+
+    from ..models.multires_hubert import MultiresHubertConfig
+
+    conv = model_cfg.get("conv_feature_layers")
+    if isinstance(conv, str):
+        conv = tuple(tuple(c) for c in ast_mod.literal_eval(conv))
+    elif conv is not None:
+        conv = tuple(tuple(c) for c in conv)
+    override = model_cfg.get("override_encoder_layers", "")
+    kwargs = dict(
+        extractor_mode=model_cfg.get("extractor_mode", "default"),
+        conv_bias=model_cfg.get("conv_bias", False),
+        encoder_embed_dim=model_cfg.get("encoder_embed_dim", 768),
+        encoder_ffn_embed_dim=model_cfg.get("encoder_ffn_embed_dim", 3072),
+        encoder_attention_heads=model_cfg.get("encoder_attention_heads", 12),
+        activation_fn=model_cfg.get("activation_fn", "gelu"),
+        layer_norm_first=model_cfg.get("layer_norm_first", False),
+        conv_pos=model_cfg.get("conv_pos", 128),
+        conv_pos_groups=model_cfg.get("conv_pos_groups", 16),
+        label_rate_ratios=tuple(model_cfg.get("label_rate_ratios", (1, 2))),
+        encoder_layers=int(model_cfg.get("encoder_layers", 2)),
+        override_encoder_layers=tuple(ast_mod.literal_eval(override)) if override else (),
+        conv_adapator_kernal=int(model_cfg.get("conv_adapator_kernal", 7)),
+        use_plain_updownsample=bool(model_cfg.get("use_plain_updownsample", False)),
+        dropout=model_cfg.get("dropout", 0.1),
+        attention_dropout=model_cfg.get("attention_dropout", 0.1),
+        activation_dropout=model_cfg.get("activation_dropout", 0.0),
+        dropout_input=model_cfg.get("dropout_input", 0.1),
+        normalize=(task_cfg or {}).get("normalize", False),
+    )
+    if conv is not None:
+        kwargs["conv_feature_layers"] = conv
+    return MultiresHubertConfig(**kwargs)
+
+
+def load_multires_hubert_checkpoint(path: str):
+    """Load an s3prl-converted MR-HuBERT ckpt -> (MultiresHubertConfig, params)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg = multires_config_from_model_cfg(ckpt.get("model_cfg", {}), ckpt.get("task_cfg", {}))
+    return cfg, multires_hubert_params_from_torch(ckpt["model_weight"], cfg)
+
+
+# ---------------------------------------------------------------------------
+# DeCoAR 1 (reference: s3prl/upstream/decoar/decoar.py — {"model"} ckpts with
+# a 4-layer nn.LSTM per direction; decoar_layers uses ModuleLists of
+# single-layer LSTMs with the same math)
+# ---------------------------------------------------------------------------
+
+
+def decoar_params_from_torch(sd: Dict[str, Any], num_layers: int = 4) -> Dict[str, Any]:
+    """Map a Decoar state_dict onto models/decoar.DecoarModel (both the
+    `forward_lstm.weight_ih_l{k}` and `forward_lstms.{k}.weight_ih_l0`
+    naming variants)."""
+    params: Dict[str, Any] = {"post_extract_proj": _linear(sd, "post_extract_proj")}
+    for i in range(num_layers):
+        if f"forward_lstm.weight_ih_l{i}" in sd:
+            params[f"fwd_{i}"] = _lstm_params_from_torch(sd, "forward_lstm", i)
+            params[f"bwd_{i}"] = _lstm_params_from_torch(sd, "backward_lstm", i)
+        else:
+            params[f"fwd_{i}"] = _lstm_params_from_torch(sd, f"forward_lstms.{i}", 0)
+            params[f"bwd_{i}"] = _lstm_params_from_torch(sd, f"backward_lstms.{i}", 0)
+    return params
+
+
+def load_decoar_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return decoar_params_from_torch(sd)
 
 
 # ---------------------------------------------------------------------------

@@ -486,8 +486,9 @@ def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
         )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        # fbank + CMVN front-end (decoar2/audio.py:45 apply_cmvn=True)
         feats, feat_lens = baseline_features(
-            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=False
+            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=True
         )
         return model.apply({"params": params}, feats, feat_lens, deterministic=not train, rngs=rngs)
 
@@ -694,15 +695,19 @@ def ssast_frame(**kwargs) -> Upstream:
 def cpc(ckpt=None, seed=0, **kwargs) -> Upstream:
     from ..models.cpc import CPCConfig, CPCModel
 
-    cfg = CPCConfig()
-    model = CPCModel(cfg)
     if ckpt is not None:
-        raise NotImplementedError("cpc ckpt conversion lands with the converter pass")
-    logger.info("cpc: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), train=False)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_cpc_checkpoint
+
+        cfg, params = load_cpc_checkpoint(ckpt)
+        model = CPCModel(cfg)
+    else:
+        cfg = CPCConfig()
+        model = CPCModel(cfg)
+        logger.info("cpc: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), train=False)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, train=train, rngs=rngs)
@@ -715,26 +720,31 @@ def cpc(ckpt=None, seed=0, **kwargs) -> Upstream:
 
 @register("multires_hubert")
 @register("multires_hubert_base")
+@register("multires_hubert_large")
 def multires_hubert(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
     from ..models.multires_hubert import MultiresHubertConfig, MultiresHubertModel
 
-    cfg = MultiresHubertConfig()
-    model = MultiresHubertModel(cfg, dtype=dtype)
     if ckpt is not None:
-        raise NotImplementedError("mr-hubert ckpt conversion lands with the converter pass")
-    logger.info("multires_hubert: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_multires_hubert_checkpoint
+
+        cfg, params = load_multires_hubert_checkpoint(ckpt)
+        model = MultiresHubertModel(cfg, dtype=dtype)
+    else:
+        cfg = MultiresHubertConfig()
+        model = MultiresHubertModel(cfg, dtype=dtype)
+        logger.info("multires_hubert: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
-    n_layers = (cfg.pre_layers + 1) + (cfg.middle_layers + 1) + (cfg.post_layers + 1)
     return Upstream(
         name="multires_hubert", apply_fn=apply_fn, params=params,
-        num_layers=n_layers, hidden_size=cfg.encoder_embed_dim, downsample_rate=320,
+        num_layers=cfg.num_hidden_states, hidden_size=cfg.encoder_embed_dim,
+        downsample_rate=320,
     )
 
 
@@ -806,44 +816,45 @@ def hf_hubert(**kwargs) -> Upstream:
 # ---------------------------------------------------------------------------
 
 
-@register("decoar")
-@register("decoar_layers")
-def decoar(ckpt=None, seed=0, **kwargs) -> Upstream:
-    """DeCoAR 1 (reference: s3prl/upstream/decoar/decoar.py): fbank-80 ->
-    Dense(1024) -> 4-layer forward LSTM + 4-layer backward LSTM, states
-    concatenated -> 2048-d representations."""
-    import flax.linen as nn
-
+def _decoar_upstream(name, per_layer, ckpt=None, seed=0, **kwargs) -> Upstream:
+    """DeCoAR 1 (reference: s3prl/upstream/decoar{,_layers}/decoar.py):
+    fbank-80 + CMVN (audio.py:45 apply_cmvn=True) -> Dense(1024) -> 4 forward
+    + 4 backward LSTM layers -> 2048-d concat (per layer for decoar_layers)."""
     from ..models.baseline import baseline_features
+    from ..models.decoar import DecoarModel
 
-    class DecoarModel(nn.Module):
-        @nn.compact
-        def __call__(self, feats, feat_lens, train=False):
-            x = nn.Dense(1024, name="post_extract_proj")(feats)
-            fwd, bwd = x, x
-            for i in range(4):
-                fwd = nn.RNN(nn.OptimizedLSTMCell(1024), name=f"fwd_{i}")(fwd, seq_lengths=feat_lens)
-                bwd = nn.RNN(nn.OptimizedLSTMCell(1024), reverse=True, keep_order=True,
-                             name=f"bwd_{i}")(bwd, seq_lengths=feat_lens)
-            return jnp.concatenate([fwd, bwd], axis=-1)[None], feat_lens
-
-    model = DecoarModel()
+    model = DecoarModel(per_layer=per_layer)
     if ckpt is not None:
-        raise NotImplementedError("decoar ckpt conversion lands with the converter pass")
-    logger.info("decoar: no ckpt given — random initialization")
-    feats = jnp.zeros((1, 98, 80), jnp.float32)
-    params = jax.jit(lambda k: model.init(k, feats, jnp.asarray([98])))(jax.random.key(seed))["params"]
+        from .convert import load_decoar_checkpoint
+
+        params = load_decoar_checkpoint(ckpt)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        feats = jnp.zeros((1, 98, 80), jnp.float32)
+        params = jax.jit(lambda k: model.init(k, feats, jnp.asarray([98])))(
+            jax.random.key(seed)
+        )["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         feats, feat_lens = baseline_features(
-            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=False
+            wavs, wav_lens, feat_type="fbank", num_mel_bins=80, delta_order=0, cmvn=True
         )
         return model.apply({"params": params}, feats, feat_lens)
 
     return Upstream(
-        name="decoar", apply_fn=apply_fn, params=params,
-        num_layers=1, hidden_size=2048, downsample_rate=160,
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=4 if per_layer else 1, hidden_size=2048, downsample_rate=160,
     )
+
+
+@register("decoar")
+def decoar(**kwargs) -> Upstream:
+    return _decoar_upstream("decoar", per_layer=False, **kwargs)
+
+
+@register("decoar_layers")
+def decoar_layers(**kwargs) -> Upstream:
+    return _decoar_upstream("decoar_layers", per_layer=True, **kwargs)
 
 
 @register("vq_wav2vec")

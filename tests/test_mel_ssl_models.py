@@ -179,7 +179,8 @@ def test_multires_hubert_upstream():
     up = hub.load("multires_hubert")
     wavs, lens = pseudo_batch([0.6, 0.4])
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
-    assert hs.shape[0] == 15  # (4+1) pre + (4+1) middle + (4+1) post
+    # default config: 3 U-net blocks x (2 layers + 1 output) each
+    assert hs.shape[0] == 9
     assert np.isfinite(np.asarray(hs)).all()
 
 

@@ -31,7 +31,8 @@ def bench_gemm(M, K, N, dtype=jnp.bfloat16, acc=None, tag=""):
     wb = jnp.asarray(rng.randn(N, K).astype(np.float32) * 0.1, dtype)
 
     @jax.jit
-    def loop(x):
+    def loop(x, w, wb):  # weights as args, NOT closure constants (the remote
+        # compiler rejects HLO with >100MB embedded constants)
         def body(i, h):
             y = jax.lax.dot_general(
                 h, w, (((1,), (0,)), ((), ())),
@@ -47,9 +48,9 @@ def bench_gemm(M, K, N, dtype=jnp.bfloat16, acc=None, tag=""):
 
         return jax.lax.fori_loop(0, ITERS, body, x)[0, 0].astype(jnp.float32)
 
-    float(np.asarray(loop(x)))  # compile+warm
+    float(np.asarray(loop(x, w, wb)))  # compile+warm
     t0 = time.perf_counter()
-    float(np.asarray(loop(x)))
+    float(np.asarray(loop(x, w, wb)))
     dt = (time.perf_counter() - t0) / ITERS
     flops = 2 * 2 * M * K * N  # two GEMMs per iter
     print(
@@ -67,7 +68,7 @@ def bench_gemm(M, K, N, dtype=jnp.bfloat16, acc=None, tag=""):
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("BENCH_PHASE"):
     # ceiling: big square
     bench_gemm(8192, 8192, 8192, tag="square-ceiling")
     bench_gemm(4096, 4096, 4096, tag="square")
@@ -84,3 +85,11 @@ if __name__ == "__main__":
     bench_gemm(15968, 1024, 4096, acc=jnp.float32, tag="fc1-f32acc")
     # fp32 comparison
     bench_gemm(8192, 1024, 4096, dtype=jnp.float32, tag="fc1-f32")
+
+# appended: M-scaling study (run with BENCH_PHASE=mscale)
+if os.environ.get("BENCH_PHASE") == "mscale":
+    for M in (31936, 63872, 127744):
+        bench_gemm(M, 1024, 4096, tag=f"fc1-M{M}")
+    bench_gemm(63872, 1024, 1024, tag="outproj-M64k")
+    bench_gemm(63872, 1024, 3072, tag="qkv-M64k")
+    bench_gemm(63872, 4096, 1024, tag="fc2-M64k")
