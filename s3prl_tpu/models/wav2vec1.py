@@ -160,8 +160,10 @@ class Wav2Vec1Model(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wavs: jnp.ndarray, wav_lens: jnp.ndarray, deterministic: bool = True):
-        """Returns (hidden_states[1 + (A-1) + 1, B, T', C], feat_lens)."""
+    def __call__(self, wavs: jnp.ndarray, wav_lens: jnp.ndarray, deterministic: bool = True,
+                 return_code_ids: bool = False):
+        """Returns (hidden_states[1 + (A-1) + 1, B, T', C], feat_lens)
+        (+ code_ids[B, T', G] when return_code_ids and a quantizer exists)."""
         cfg = self.cfg
         x = wavs[..., None].astype(self.dtype)
         lens = wav_lens
@@ -180,11 +182,12 @@ class Wav2Vec1Model(nn.Module):
             x = jnp.log(jnp.abs(x) + 1.0)
         z = x  # feature extractor output
 
+        code_ids = None
         if cfg.vq_type != "none":
             vq_dim = cfg.vq_dim if cfg.vq_dim > 0 else z.shape[-1]
             quantizer_cls = GumbelQuantizer if cfg.vq_type == "gumbel" else KmeansQuantizer
             kw = {"depth": cfg.vq_depth} if cfg.vq_type == "gumbel" else {}
-            x, _ = quantizer_cls(
+            x, code_ids = quantizer_cls(
                 num_vars=cfg.vq_vars, groups=cfg.vq_groups, vq_dim=vq_dim,
                 combine_groups=cfg.combine_groups, name="vq", **kw,
             )(z, train=not deterministic)
@@ -211,4 +214,6 @@ class Wav2Vec1Model(nn.Module):
                                        name=f"agg_rproj_{i}")(residual)
                 x = (x + residual) * scale
         hidden_states.append(x)  # aggregator output c
+        if return_code_ids:
+            return jnp.stack(hidden_states), lens, code_ids
         return jnp.stack(hidden_states), lens

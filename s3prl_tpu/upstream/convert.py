@@ -671,15 +671,37 @@ def load_cpc_checkpoint(path: str):
 
 
 def load_mel_ssl_checkpoint(name: str, path: str):
-    """Load a mockingjay/tera/audio_albert pretraining ckpt -> variables.
+    """Load a mel-domain SSL pretraining ckpt -> variables.
 
-    Reference on-the-fly ckpts store {"SelfSupervisedLearning"/"Transformer":
-    state_dict, "Settings"/config}; we accept either that layout or a raw
-    state_dict with `transformer.`/`encoder.layer.` keys.
+    Dispatches by family:
+    - apc / vq_apc / npc ckpts store {"config", "model"} (apc/expert.py:22-27,
+      npc/expert.py:22-26);
+    - mockingjay / tera / audio_albert on-the-fly ckpts store
+      {"SelfSupervisedLearning"/"Transformer": state_dict, config}; raw
+      state_dicts with `transformer.`/`encoder.layer.` keys also accepted.
     """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+    if name.startswith(("apc", "vq_apc")):
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        n = 0
+        while f"rnn_layers.{n}.weight_ih_l0" in sd:
+            n += 1
+        return {"params": apc_params_from_torch(sd, max(n, 1))}
+    if name.startswith("npc"):
+        from ..models.npc import NPCConfig
+
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        paras = (
+            ckpt.get("config", {}).get("model", {}).get("paras", {})
+            if isinstance(ckpt, dict)
+            else {}
+        )
+        allowed = {f for f in NPCConfig.__dataclass_fields__}
+        cfg = NPCConfig(**{k: v for k, v in paras.items() if k in allowed})
+        return npc_variables_from_torch(sd, cfg)
     sd = None
     if isinstance(ckpt, dict):
         for key in ("SelfSupervisedLearning", "Transformer", "model", "state_dict"):
@@ -976,6 +998,143 @@ def load_decoar2_checkpoint(path: str) -> Dict[str, Any]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return decoar2_params_from_torch(sd)
+
+
+# ---------------------------------------------------------------------------
+# MOS predictor (reference: s3prl/upstream/mos_prediction — ckpts
+# {"Upstream","Featurizer","Downstream","Config"}, expert.py:82-109)
+# ---------------------------------------------------------------------------
+
+
+def load_mos_checkpoint(path: str):
+    """Load a mos_wav2vec2 ckpt -> (MosConfig, params). The Upstream entry is
+    the finetuned wav2vec2 expert state_dict ("model."-prefixed)."""
+    import torch
+
+    from ..models.mos import MosConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    up_sd = {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in ckpt["Upstream"].items()
+    }
+    trunk_cfg = config_from_model_cfg({})  # released MOS rides wav2vec2-Base
+    modelrc = (
+        ckpt.get("Config", {}).get("downstream_expert", {}).get("modelrc", {})
+    )
+    down_sd = ckpt["Downstream"]
+    cfg = MosConfig(
+        trunk=trunk_cfg,
+        projector_dim=int(modelrc.get("projector_dim", down_sd["connector.weight"].shape[0])),
+        clipping=bool(modelrc.get("clipping", False)),
+        attention_pooling=bool(modelrc.get("attention_pooling", False)),
+    )
+    params: Dict[str, Any] = {
+        "trunk": trunk_params_from_torch(up_sd, trunk_cfg),
+        "featurizer_weights": _t(ckpt["Featurizer"]["weights"]),
+        "connector": _linear(down_sd, "connector"),
+        "mean_net_linear": _linear(down_sd, "model.mean_net_linear"),
+    }
+    if cfg.attention_pooling:
+        params["mean_net_pooling"] = _linear(down_sd, "model.mean_net_pooling.W")
+    return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa (reference: s3prl/upstream/roberta — s3prl-converted ckpts
+# {"task_cfg","model_cfg"(Namespace),"model_weight","text_dictionary"})
+# ---------------------------------------------------------------------------
+
+
+def roberta_params_from_torch(sd: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Map a fairseq RobertaModel state_dict (encoder.sentence_encoder.*)
+    onto models/roberta.RobertaModel."""
+    pref = "encoder.sentence_encoder."
+    if not any(k.startswith(pref) for k in sd):
+        pref = ""  # bare sentence-encoder state_dict
+    ln_key = (
+        f"{pref}layernorm_embedding"
+        if f"{pref}layernorm_embedding.weight" in sd
+        else f"{pref}emb_layer_norm"
+    )
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _t(sd[f"{pref}embed_tokens.weight"])},
+        "embed_positions": {"embedding": _t(sd[f"{pref}embed_positions.weight"])},
+        "emb_layer_norm": _norm(sd, ln_key),
+    }
+    for i in range(num_layers):
+        p = f"{pref}layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"]).T for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"]) for n in ("q", "k", "v")], axis=0
+        )
+        params[f"layer_{i}"] = {
+            "self_attn": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{p}.fc1"),
+            "fc2": _linear(sd, f"{p}.fc2"),
+            "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+        }
+    return params
+
+
+def parse_fairseq_dictionary(text: str, num_codes: int = 320):
+    """Parse a fairseq dict.txt of "g0-g1 count" code-pair symbols into an
+    int lookup [num_codes, num_codes] -> token id (specials: <s>=0 <pad>=1
+    </s>=2 <unk>=3, then symbols in file order; Dictionary.load semantics)."""
+    lookup = np.full((num_codes, num_codes), 3, np.int32)  # default <unk>
+    idx = 4
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        sym = line.rsplit(" ", 1)[0]
+        parts = sym.split("-")
+        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            a, b = int(parts[0]), int(parts[1])
+            if a < num_codes and b < num_codes:
+                lookup[a, b] = idx
+        idx += 1
+    return lookup, idx + 1  # +1 for the appended <mask>
+
+
+def load_roberta_checkpoint(path: str):
+    """Load an s3prl-converted roberta ckpt -> (RobertaConfig, params, lookup)."""
+    import torch
+
+    from ..models.roberta import RobertaConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_weight"]
+    mc = ckpt.get("model_cfg")
+    mc = vars(mc) if mc is not None and not isinstance(mc, dict) else (mc or {})
+    tok_w = _t(sd.get("encoder.sentence_encoder.embed_tokens.weight",
+                      sd.get("embed_tokens.weight")))
+    pos_w = _t(sd.get("encoder.sentence_encoder.embed_positions.weight",
+                      sd.get("embed_positions.weight")))
+    pad_idx = 1
+    cfg = RobertaConfig(
+        vocab_size=tok_w.shape[0],
+        max_positions=pos_w.shape[0] - pad_idx - 1,
+        hidden_size=int(mc.get("encoder_embed_dim", tok_w.shape[1])),
+        num_layers=int(mc.get("encoder_layers", 12)),
+        num_heads=int(mc.get("encoder_attention_heads", 12)),
+        ffn_size=int(mc.get("encoder_ffn_embed_dim", 3072)),
+        dropout=float(mc.get("dropout", 0.1)),
+        attention_dropout=float(mc.get("attention_dropout", 0.1)),
+        activation_dropout=float(mc.get("activation_dropout", 0.0)),
+        pad_idx=pad_idx,
+    )
+    params = roberta_params_from_torch(sd, cfg.num_layers)
+    lookup = None
+    if "text_dictionary" in ckpt:
+        lookup, _ = parse_fairseq_dictionary(ckpt["text_dictionary"])
+    return cfg, params, lookup
 
 
 # ---------------------------------------------------------------------------

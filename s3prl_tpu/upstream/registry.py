@@ -42,9 +42,28 @@ def options() -> List[str]:
 
 
 def load(name: str, **kwargs) -> Upstream:
-    """Build a named upstream (analog of `getattr(hub, name)(**kwargs)`)."""
+    """Build a named upstream (analog of `getattr(hub, name)(**kwargs)`).
+
+    Entries with a pinned checkpoint URL (upstream/urls.py, mirroring the
+    reference hubconf catalog) resolve it through the download cache when
+    `download=True` or ``S3PRL_TPU_DOWNLOAD=1`` — opt-in because this
+    environment may have no egress. Without a ckpt, SSL models random-init.
+    """
+    import os
+
     if name not in _REGISTRY:
         raise KeyError(f"unknown upstream '{name}'; available: {options()}")
+    want_download = bool(kwargs.pop("download", False)) or (
+        os.environ.get("S3PRL_TPU_DOWNLOAD") == "1"
+    )
+    if kwargs.get("ckpt") is None and want_download:
+        from .urls import url_for
+
+        url = url_for(name)
+        if url is not None:
+            from ..util.download import urls_to_filepaths
+
+            kwargs["ckpt"] = str(urls_to_filepaths(url)[0])
     return _REGISTRY[name](**kwargs)
 
 
@@ -249,8 +268,20 @@ def _mel_features(kind: str):
 
 def _feat_encoder_upstream(name, feat_kind, build_model, num_layers, hidden,
                            stride=160, seed=0, ckpt=None, dtype=jnp.float32):
-    feat_fn = _mel_features(feat_kind)
     model = build_model(dtype)
+
+    if ckpt is not None:
+        from .convert import load_mel_ssl_checkpoint
+
+        variables = load_mel_ssl_checkpoint(name, ckpt)
+        if name in ("mockingjay", "tera", "audio_albert"):
+            # the checkpoint's own front-end wins: published variants differ
+            # (logMelBase 80-d vs fbank+delta 240-d; the reference carries
+            # the extracter config inside the ckpt). Infer from the
+            # spec_transform input width.
+            in_dim = variables["params"]["spec_transform"]["kernel"].shape[0]
+            feat_kind = "fbank_delta" if in_dim == 240 else "mel"
+    feat_fn = _mel_features(feat_kind)
 
     mode_kw = (lambda train: {"train": train}) if ("apc" in name or name == "npc") \
         else (lambda train: {"deterministic": not train})
@@ -260,11 +291,7 @@ def _feat_encoder_upstream(name, feat_kind, build_model, num_layers, hidden,
         out = model.apply(variables, feats, feat_lens, **mode_kw(train), rngs=rngs)
         return out[0], feat_lens
 
-    if ckpt is not None:
-        from .convert import load_mel_ssl_checkpoint
-
-        variables = load_mel_ssl_checkpoint(name, ckpt)
-    else:
+    if ckpt is None:
         logger.info(f"{name}: no ckpt given — random initialization")
         wavs = jnp.zeros((1, 16000), jnp.float32)
         feats, feat_lens = feat_fn(wavs, jnp.asarray([16000]))
@@ -599,6 +626,13 @@ def unispeech_sat(**kwargs) -> Upstream:
     return _wavlm_upstream("unispeech_sat", WAVLM_BASE, **kwargs)
 
 
+@register("unispeech_sat_base_plus")
+def unispeech_sat_base_plus(**kwargs) -> Upstream:
+    from ..models.wavlm import WAVLM_BASE_PLUS
+
+    return _wavlm_upstream("unispeech_sat_base_plus", WAVLM_BASE_PLUS, **kwargs)
+
+
 @register("unispeech_sat_large")
 def unispeech_sat_large(**kwargs) -> Upstream:
     from ..models.wavlm import WAVLM_LARGE
@@ -881,42 +915,34 @@ def vq_wav2vec_kmeans(**kwargs) -> Upstream:
 
 @register("mos_wav2vec2")
 @register("mos_prediction")
-def mos_prediction(ckpt=None, seed=0, **kwargs) -> Upstream:
-    """MOS predictor (reference: s3prl/upstream/mos_prediction/model.py):
-    wav2vec2-Base trunk + mean-pooled linear head emitting one quality score
-    per utterance. API outlier (scalar output; the reference's own tests skip
-    it, test_upstream.py:158)."""
-    import flax.linen as nn
+def mos_prediction(ckpt=None, seed=0, dtype=jnp.float32, **kwargs) -> Upstream:
+    """MOS predictor (reference: s3prl/upstream/mos_prediction): finetuned
+    wav2vec2 trunk + learned layer-weighted sum + connector + mean-net head
+    over 1 s segments, scores averaged per utterance (see models/mos.py).
+    API outlier (scalar output; the reference's own tests skip it,
+    test_upstream.py:158)."""
+    from ..models.mos import MosConfig, MosModel
 
-    from ..models.wav2vec2 import BASE, Wav2Vec2Trunk
-
-    class MosModel(nn.Module):
-        @nn.compact
-        def __call__(self, wavs, wav_lens, deterministic=True):
-            hs, lens = Wav2Vec2Trunk(BASE, name="trunk")(wavs, wav_lens, deterministic=deterministic)
-            from ..ops.masking import length_mask
-
-            mask = length_mask(lens, hs.shape[2], hs.dtype)[..., None]
-            pooled = (hs[-1] * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
-            score = nn.Dense(1, name="mos_head")(pooled)
-            # expose the score broadcast over time as a single hidden state
-            return jnp.broadcast_to(score[:, None, :], (hs.shape[1], hs.shape[2], 1))[None], lens
-
-    model = MosModel()
     if ckpt is not None:
-        raise NotImplementedError("mos ckpt conversion lands with the converter pass")
-    logger.info("mos_prediction: no ckpt given — random initialization")
-    probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+        from .convert import load_mos_checkpoint
+
+        cfg, params = load_mos_checkpoint(ckpt)
+        model = MosModel(cfg, dtype=dtype)
+    else:
+        cfg = MosConfig()
+        model = MosModel(cfg, dtype=dtype)
+        logger.info("mos_prediction: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
     return Upstream(
         name="mos_prediction", apply_fn=apply_fn, params=params,
-        num_layers=1, hidden_size=1, downsample_rate=320,
+        num_layers=1, hidden_size=1, downsample_rate=cfg.trunk.downsample_rate,
     )
 
 
@@ -940,38 +966,98 @@ _external_stub("byol_s", "serab_byols")
 
 @register("vq_wav2vec_kmeans_roberta")
 @register("discretebert")
-def vq_wav2vec_roberta(ckpt=None, seed=0, **kwargs) -> Upstream:
-    """Discrete-unit BERT pipeline (reference: s3prl/upstream/roberta +
-    vq_wav2vec hubconf `vq_wav2vec_kmeans_roberta`): vq-wav2vec tokens ->
-    RoBERTa contextualizer. Here the quantizer indices come from the
-    in-framework vq_wav2vec VQ layer."""
-    import flax.linen as nn
+def vq_wav2vec_roberta(ckpt=None, frontend_ckpt=None, seed=0, **kwargs) -> Upstream:
+    """Discrete-unit BERT pipeline (reference: s3prl/upstream/roberta/
+    hubconf.py:14-45 + expert.py:55-95): a kmeans vq-wav2vec frontend emits
+    per-frame code pairs, a fairseq Dictionary maps "g0-g1" to token ids
+    wrapped in <s> ... </s>, and RoBERTa contextualizes them (bucketed at
+    max_positions).
 
-    from ..models.apc import VQLayer
+    `ckpt` is the s3prl-converted roberta ckpt (with text_dictionary);
+    `frontend_ckpt` the converted vq-wav2vec kmeans ckpt.
+    """
+    import flax.linen as nn
+    import numpy as np
+
     from ..models.roberta import RobertaConfig, RobertaModel
     from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1Model
+    from ..ops.masking import length_mask
 
-    w2v_cfg = Wav2Vec1Config()
-    rob_cfg = RobertaConfig(num_layers=4)  # compact default w/o ckpt
+    if frontend_ckpt is not None:
+        from .convert import load_wav2vec1_checkpoint
+
+        w2v_cfg, w2v_params = load_wav2vec1_checkpoint(frontend_ckpt)
+    else:
+        w2v_cfg = Wav2Vec1Config(vq_type="kmeans", vq_dim=512)
+        w2v_params = None
+    if ckpt is not None:
+        from .convert import load_roberta_checkpoint
+
+        rob_cfg, rob_params, lookup = load_roberta_checkpoint(ckpt)
+        if lookup is None:
+            lookup = np.full((w2v_cfg.vq_vars, w2v_cfg.vq_vars), 3, np.int32)
+    else:
+        rob_cfg = RobertaConfig(num_layers=4, vocab_size=w2v_cfg.vq_vars ** 2 + 5)
+        rob_params, lookup = None, None
+        if lookup is None:  # dense default mapping: pair (a, b) -> 4 + a*V + b
+            V = w2v_cfg.vq_vars
+            lookup = (4 + np.arange(V * V).reshape(V, V)).astype(np.int32)
+            lookup = np.minimum(lookup, rob_cfg.vocab_size - 1)
+
+    w2v = Wav2Vec1Model(w2v_cfg)
+    roberta = RobertaModel(rob_cfg)
+    lookup_j = jnp.asarray(lookup)
+    BOS, EOS = 0, 2
+    P = rob_cfg.max_positions
 
     class Pipeline(nn.Module):
         @nn.compact
         def __call__(self, wavs, wav_lens, deterministic=True):
-            hs, lens = Wav2Vec1Model(w2v_cfg, name="w2v")(wavs, wav_lens, deterministic)
-            logits, _ = VQLayer(codebook_size=rob_cfg.vocab_size - 4, code_dim=512, name="vq")(
-                hs[0], train=False
+            _, lens, ids = w2v.copy(name="w2v")(
+                wavs, wav_lens, deterministic, return_code_ids=True
             )
-            tokens = jnp.argmax(logits, axis=-1) + 4  # offset past specials
-            return RobertaModel(rob_cfg, name="roberta")(tokens, lens, deterministic)
+            B, Tc = ids.shape[0], ids.shape[1]
+            tokens = lookup_j[ids[..., 0], ids[..., 1 % ids.shape[-1]]]
+            # <s> tokens </s> wrap (hubconf.py:20-25): shift right by one,
+            # place BOS at 0 and EOS at position len+1
+            T_tok = Tc + 2
+            wrapped = jnp.full((B, T_tok), EOS, tokens.dtype)
+            wrapped = wrapped.at[:, 1 : Tc + 1].set(tokens)
+            wrapped = wrapped.at[:, 0].set(BOS)
+            tok_lens = lens + 2
+            # EOS already sits at every position >= len+1; pad handling is
+            # done inside RobertaModel via tok_lens
+            eos_pos = jnp.clip(lens + 1, 0, T_tok - 1)
+            wrapped = jnp.where(
+                jnp.arange(T_tok)[None] == eos_pos[:, None], EOS, wrapped
+            )
+            # bucket at max_positions with per-bucket position restart
+            # (expert.py:73-79)
+            nb = -(-T_tok // P)
+            padded = jnp.pad(wrapped, ((0, 0), (0, nb * P - T_tok)))
+            buckets = padded.reshape(B * nb, P)
+            b_lens = jnp.clip(
+                tok_lens[:, None] - jnp.arange(nb)[None] * P, 0, P
+            ).reshape(-1)
+            hs, _ = roberta.copy(name="roberta")(buckets, b_lens, deterministic)
+            L = hs.shape[0]
+            hs = hs.reshape(L, B, nb * P, -1)[:, :, :T_tok]
+            return hs, tok_lens
 
     model = Pipeline()
-    if ckpt is not None:
-        raise NotImplementedError("roberta ckpt conversion lands with the converter pass")
-    logger.info("vq_wav2vec_kmeans_roberta: no ckpt given — random initialization")
     probe = jnp.zeros((1, 16000), jnp.float32)
-    params = jax.jit(
-        lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
-    )(jax.random.key(seed))["params"]
+    if w2v_params is None or rob_params is None:
+        logger.info("vq_wav2vec_kmeans_roberta: missing ckpt(s) — random init")
+        init = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
+        params = dict(init)
+    else:
+        params = {}
+    if w2v_params is not None:
+        params["w2v"] = w2v_params
+    if rob_params is not None:
+        params["roberta"] = rob_params
 
     def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
@@ -995,7 +1081,36 @@ CONFORMER_BASE = Wav2Vec2Config(
 
 @register("wav2vec2_conformer")
 @register("wav2vec2_conformer_relpos")
+@register("wav2vec2_conformer_rope")
 def wav2vec2_conformer(**kwargs) -> Upstream:
     """Conformer-encoder wav2vec2 variants (reference: wav2vec2_model.py
     ConformerEncoder:3132; hubconf conformer entries)."""
     return _trunk_upstream("wav2vec2_conformer", CONFORMER_BASE, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Named aliases mirroring the reference hubconf catalog (each resolves a
+# pinned ckpt URL via upstream/urls.py; architecture comes from the ckpt's
+# model_cfg at load time, the alias only fixes the no-ckpt default).
+# ---------------------------------------------------------------------------
+
+for _alias in ("wav2vec2_large_960", "wav2vec2_large_voxpopuli_100k", "xlsr_53",
+               "xls_r_300m", "xls_r_1b", "xls_r_2b"):
+    _REGISTRY[_alias] = wav2vec2_large
+for _alias in ("hubert_base_robust_mgr", "mhubert_base_vp_en_es_fr_it3",
+               "contentvec", "contentvec_km100", "contentvec_km500", "ms_hubert"):
+    _REGISTRY[_alias] = hubert_base
+for _alias in ("apc_360hr", "apc_960hr"):
+    _REGISTRY[_alias] = apc
+for _alias in ("vq_apc_360hr", "vq_apc_960hr"):
+    _REGISTRY[_alias] = vq_apc
+for _alias in ("npc_360hr", "npc_960hr"):
+    _REGISTRY[_alias] = npc
+for _alias in ("multires_hubert_multilingual_base",
+               "multires_hubert_multilingual_large400k",
+               "multires_hubert_multilingual_large600k"):
+    _REGISTRY[_alias] = multires_hubert
+for _alias in ("mae_ast_patch",):
+    _REGISTRY[_alias] = ssast_patch
+for _alias in ("mae_ast_frame",):
+    _REGISTRY[_alias] = ssast_frame

@@ -1,0 +1,108 @@
+"""Pinned checkpoint catalog — entry name -> artifact URL.
+
+Mirror of the reference hubconf's pinned URLs (one per named entry; e.g.
+s3prl/upstream/hubert/hubconf.py:85-156, wav2vec2/hubconf.py, ...). Where the
+reference publishes a self-contained s3prl-converted checkpoint
+(huggingface.co/s3prl/converted_ckpts — {"task_cfg","model_cfg",
+"model_weight"}), we pin that one, since our converters consume it directly;
+fairseq-native originals would need fairseq to deserialize.
+
+Resolution is opt-in because this environment has no egress: `hub.load(name)`
+downloads the pinned ckpt only when `download=True` is passed or
+``S3PRL_TPU_DOWNLOAD=1`` is set; otherwise models random-init with a log
+message (the reference's `randomize=True` escape hatch).
+"""
+
+_CONVERTED = "https://huggingface.co/s3prl/converted_ckpts/resolve/main"
+
+CKPT_URLS = {
+    # wav2vec 2.0 family (reference wav2vec2/hubconf.py)
+    "wav2vec2": f"{_CONVERTED}/wav2vec_small.pt",
+    "wav2vec2_base_960": f"{_CONVERTED}/wav2vec_small.pt",
+    "wav2vec2_large_960": f"{_CONVERTED}/libri960_big.pt",
+    "wav2vec2_large_ll60k": f"{_CONVERTED}/libri960_big.pt",
+    "wav2vec2_large_lv60_cv_swbd_fsh": f"{_CONVERTED}/wav2vec_vox_new.pt",
+    "wav2vec2_large_voxpopuli_100k": f"{_CONVERTED}/wav2vec2_large_100k.pt",
+    "xlsr_53": f"{_CONVERTED}/xlsr_53_56k.pt",
+    "xls_r_300m": f"{_CONVERTED}/xlsr2_300m.pt",
+    "xls_r_1b": f"{_CONVERTED}/xlsr2_960m_1000k.pt",
+    "xls_r_2b": f"{_CONVERTED}/xlsr2_2B_1000k.pt",
+    "wav2vec2_conformer": f"{_CONVERTED}/LL_relpos_PT_no_FT.pt",
+    "wav2vec2_conformer_relpos": f"{_CONVERTED}/LL_relpos_PT_no_FT.pt",
+    "wav2vec2_conformer_rope": f"{_CONVERTED}/LL_rope_PT_no_FT.pt",
+    # HuBERT family (hubert/hubconf.py:85-156)
+    "hubert": f"{_CONVERTED}/hubert_base_ls960.pt",
+    "hubert_base": f"{_CONVERTED}/hubert_base_ls960.pt",
+    "hubert_large_ll60k": f"{_CONVERTED}/hubert_large_ll60k.pt",
+    "hubert_base_robust_mgr": f"{_CONVERTED}/HuBERT_base_robust_mgr_best_loss_2.7821.pt",
+    "mhubert_base_vp_en_es_fr_it3": f"{_CONVERTED}/mhubert_base_vp_en_es_fr_it3.pt",
+    "contentvec": f"{_CONVERTED}/contentvec_km100.pt",
+    "contentvec_km100": f"{_CONVERTED}/contentvec_km100.pt",
+    "contentvec_km500": f"{_CONVERTED}/contentvec_km500.pt",
+    "ms_hubert": "https://huggingface.co/s3prl/MS-HuBERT/resolve/main/iter3.pt",
+    # WavLM / UniSpeech-SAT (wavlm/hubconf.py, unispeech_sat/hubconf.py)
+    "wavlm": f"{_CONVERTED}/wavlm_base_plus.pt",
+    "wavlm_base": f"{_CONVERTED}/wavlm_base.pt",
+    "wavlm_base_plus": f"{_CONVERTED}/wavlm_base_plus.pt",
+    "wavlm_large": f"{_CONVERTED}/wavlm_large.pt",
+    "unispeech_sat": f"{_CONVERTED}/unispeech_sat_base.pt",
+    "unispeech_sat_base": f"{_CONVERTED}/unispeech_sat_base.pt",
+    "unispeech_sat_base_plus": f"{_CONVERTED}/unispeech_sat_base_plus.pt",
+    "unispeech_sat_large": f"{_CONVERTED}/unispeech_sat_large.pt",
+    # data2vec (data2vec/hubconf.py)
+    "data2vec": f"{_CONVERTED}/audio_base_ls.pt",
+    "data2vec_base_960": f"{_CONVERTED}/audio_base_ls.pt",
+    "data2vec_large_ll60k": f"{_CONVERTED}/vox_pretrained.pt",
+    # mel-domain SSL (mockingjay/tera/audio_albert hubconf.py)
+    "mockingjay": "https://www.dropbox.com/s/7f9z6dzc7oix6qv/states-1000000.ckpt?dl=1",
+    "tera": "https://huggingface.co/s3prl/tera/resolve/main/tera_logMelBase_T_F_M_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    "audio_albert": "https://huggingface.co/s3prl/audio_albert/resolve/main/audio_albert_logMelBase_T_share_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    # APC family (apc/vq_apc/npc hubconf.py)
+    "apc": "https://huggingface.co/leo19941227/apc_series/resolve/main/apc_960hr.ckpt",
+    "apc_360hr": "https://huggingface.co/leo19941227/apc_series/resolve/main/apc_360hr.ckpt",
+    "apc_960hr": "https://huggingface.co/leo19941227/apc_series/resolve/main/apc_960hr.ckpt",
+    "vq_apc": "https://huggingface.co/leo19941227/apc_series/resolve/main/vq_apc_960hr.ckpt",
+    "npc": "https://huggingface.co/leo19941227/apc_series/resolve/main/npc_960hr.ckpt",
+    # DistilHuBERT (distiller/hubconf.py)
+    "distilhubert": "https://huggingface.co/leo19941227/distilhubert/resolve/main/distilhubert_ls960_4-8-12.ckpt",
+    "distiller": "https://huggingface.co/leo19941227/distilhubert/resolve/main/distilhubert_ls960_4-8-12.ckpt",
+    # DeCoAR (decoar*/hubconf.py)
+    "decoar": f"{_CONVERTED}/checkpoint_decoar.pt",
+    "decoar_layers": f"{_CONVERTED}/checkpoint_decoar.pt",
+    "decoar2": f"{_CONVERTED}/checkpoint_decoar2.pt",
+    # CPC (cpc/hubconf.py)
+    "cpc": "https://dl.fbaipublicfiles.com/librilight/CPC_checkpoints/60k_epoch4-d0f474de.pt",
+    "modified_cpc": "https://dl.fbaipublicfiles.com/librilight/CPC_checkpoints/60k_epoch4-d0f474de.pt",
+    # wav2vec 1.0 / vq-wav2vec (wav2vec, vq_wav2vec, roberta hubconf.py)
+    "wav2vec": f"{_CONVERTED}/wav2vec_large.pt",
+    "wav2vec_large": f"{_CONVERTED}/wav2vec_large.pt",
+    "vq_wav2vec": f"{_CONVERTED}/vq-wav2vec.pt",
+    "vq_wav2vec_gumbel": f"{_CONVERTED}/vq-wav2vec.pt",
+    "vq_wav2vec_kmeans": f"{_CONVERTED}/vq-wav2vec_kmeans.pt",
+    "vq_wav2vec_kmeans_roberta": f"{_CONVERTED}/vq_wav2vec_kmeans_roberta.pt",
+    "discretebert": f"{_CONVERTED}/vq_wav2vec_kmeans_roberta.pt",
+    # MR-HuBERT (multires_hubert/hubconf.py)
+    "multires_hubert": "https://huggingface.co/s3prl/mr_hubert/resolve/main/mrhubert_mono_base.pt",
+    "multires_hubert_base": "https://huggingface.co/s3prl/mr_hubert/resolve/main/mrhubert_mono_base.pt",
+    "multires_hubert_large": "https://huggingface.co/s3prl/mr_hubert/resolve/main/mrhubert_mono_large.pt",
+    # AST family (ssast/ast/mae_ast hubconf.py)
+    "ssast_patch_base": "https://www.dropbox.com/s/ewrzpco95n9jdz6/SSAST-Base-Patch-400.pth?dl=1",
+    "ssast_frame_base": "https://www.dropbox.com/s/nx6nl4d4bl71sm8/SSAST-Base-Frame-400.pth?dl=1",
+    "ast": "https://www.dropbox.com/s/ca0b1v2nlxzyeb4/audioset_10_10_0.4593.pth?dl=1",
+    "mae_ast": "https://www.cs.utexas.edu/~harwath/model_checkpoints/mae_ast/chunk_patch_75_12LayerEncoder.pt",
+    # BYOL-A (byol_a/hubconf.py)
+    "byol_a": "https://github.com/nttcslab/byol-a/raw/master/pretrained_weights/AudioNTT2020-BYOLA-64x96d2048.pth",
+    # VGGish (vggish/hubconf.py)
+    "vggish": "https://github.com/harritaylor/torchvggish/releases/download/v0.1/vggish-10086976.pth",
+    # MOS predictors (mos_prediction/hubconf.py)
+    "mos_wav2vec2": "https://www.dropbox.com/s/s9zpouk5svu1a4l/wav2vec2-dev-SRCC-best.ckpt?dl=1",
+    "mos_prediction": "https://www.dropbox.com/s/s9zpouk5svu1a4l/wav2vec2-dev-SRCC-best.ckpt?dl=1",
+    # BYOL-S / LightHuBERT (native ports pending; URLs pinned for when the
+    # stubs are replaced)
+    "byol_s": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/default2048_BYOLAs64x96-2105311814-e100-bs256-lr0003-rs42.pth",
+    "lighthubert": "https://huggingface.co/mechanicalsea/lighthubert/resolve/main/lighthubert_base.pt",
+}
+
+
+def url_for(name: str):
+    return CKPT_URLS.get(name)

@@ -23,15 +23,20 @@ import pytest  # noqa: E402
 
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False, help="run slow tests")
+    parser.addoption(
+        "--rundownload", action="store_true", default=False,
+        help="run tests that download pinned checkpoints (needs egress)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
     skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    skip_dl = pytest.mark.skip(reason="need --rundownload option (and egress) to run")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and not config.getoption("--runslow"):
             item.add_marker(skip_slow)
+        if "download" in item.keywords and not config.getoption("--rundownload"):
+            item.add_marker(skip_dl)
 
 
 @pytest.fixture(autouse=True)
