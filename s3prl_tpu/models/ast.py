@@ -85,6 +85,7 @@ class ASTEncoder(nn.Module):
                 dropout=0.0,
                 attention_dropout=0.0,
                 dtype=self.dtype,
+                layer_norm_eps=1e-6,  # timm ViT
                 name=f"block_{i}",
             )(x, None, None, deterministic)
             hidden.append(x)

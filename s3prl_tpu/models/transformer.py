@@ -109,22 +109,30 @@ class SelfAttention(nn.Module):
         H = self.num_heads
         Dh = C // H
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # one MXU matmul
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
-        k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         if self.use_flash and attn_bias is None:
             from ..kernels.flash_attention import flash_attention
 
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
+            k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             kv_lens = (
                 (~key_padding_mask).sum(-1).astype(jnp.int32)
                 if key_padding_mask is not None
                 else jnp.full((B,), T, jnp.int32)
             )
             out = flash_attention(q, k, v, kv_lens)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         else:
-            out = scaled_dot_attention(q, k, v, key_padding_mask, attn_bias)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+            # heads-last path: pure reshapes of the qkv buffer, the head axis
+            # rides as an einsum batch dim (see ops/attention.py attention_bthd)
+            from ..ops.attention import attention_bthd
+
+            qkv = qkv.reshape(B, T, 3, H, Dh)
+            q = qkv[:, :, 0] * (Dh ** -0.5)
+            out = attention_bthd(q, qkv[:, :, 1], qkv[:, :, 2],
+                                 key_padding_mask, attn_bias)
+            out = out.reshape(B, T, C)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -141,6 +149,7 @@ class EncoderLayer(nn.Module):
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    layer_norm_eps: float = 1e-5  # timm ViT blocks use 1e-6
 
     def _act(self, x):
         if self.activation == "gelu":
@@ -163,8 +172,10 @@ class EncoderLayer(nn.Module):
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
             self.use_flash, name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
-        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
-        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
+        ln_attn = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                               name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                                name="final_layer_norm")
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 

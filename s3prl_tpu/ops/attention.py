@@ -35,3 +35,28 @@ def scaled_dot_attention(
         scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
     probs = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1)
     return jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v)
+
+
+def attention_bthd(
+    q: jnp.ndarray,  # [B, T, H, Dh] — heads-last, no transposed copies
+    k: jnp.ndarray,  # [B, S, H, Dh]
+    v: jnp.ndarray,  # [B, S, H, Dh]
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = PAD
+    attn_bias: Optional[jnp.ndarray] = None,  # broadcastable to [B, H, T, S]
+    softmax_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Attention that keeps tensors in [B, T, H, Dh] layout.
+
+    The q/k/v views are cheap reshapes of the fused qkv matmul output; the
+    head axis is carried as an einsum batch dim so XLA folds the layout into
+    the matmuls instead of materializing four [B, H, T, Dh] transposed copies
+    per layer (a ~50 GB/forward HBM tax on HuBERT-Large at B=128).
+    Returns [B, T, H, Dh].
+    """
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=softmax_dtype)
+    if attn_bias is not None:
+        scores = scores + attn_bias.astype(softmax_dtype)
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
+    probs = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1)
+    return jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)

@@ -1180,6 +1180,98 @@ def ast_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]
     return params
 
 
+def byol_variables_from_torch(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map an AudioNTT2020 state_dict (byol_a/byol_s ckpts) onto
+    models/byol.AudioNTT2020 under the ByolModel "net" scope.
+
+    Key normalization mirrors the reference load_weight (byol_a.py:60-77):
+    keep only `features.*` / `fc.*` suffixes regardless of wrapper prefix.
+    """
+    import re
+
+    norm = {}
+    for k, v in sd.items():
+        m = re.search(r"(^fc\.|\.fc\.|^features\.|\.features\.)", k)
+        if m is None:
+            continue
+        nk = k[m.start():]
+        norm[nk[1:] if nk.startswith(".") else nk] = v
+    sd = norm
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, idx in enumerate((0, 4, 8)):  # Sequential conv positions
+        params[f"conv_{i}"] = {
+            "kernel": _t(sd[f"features.{idx}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"features.{idx}.bias"]),
+        }
+        params[f"bn_{i}"] = _norm(sd, f"features.{idx + 1}")
+        stats[f"bn_{i}"] = {
+            "mean": _t(sd[f"features.{idx + 1}.running_mean"]),
+            "var": _t(sd[f"features.{idx + 1}.running_var"]),
+        }
+    params["fc1"] = _linear(sd, "fc.0")
+    params["fc2"] = _linear(sd, "fc.3")
+    return {"params": {"net": params}, "batch_stats": {"net": stats}}
+
+
+def load_byol_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return byol_variables_from_torch(ckpt)
+
+
+def passt_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]:
+    """Map a hear21passt PaSST state_dict onto models/passt.PasstNet
+    (reference: upstream/passt/hear21passt/models/passt.py:511-772)."""
+    # accept wrapper-level dicts ({"net.*", "mel.*"}) and bare net dicts
+    if any(k.startswith("net.") for k in sd):
+        sd = {k[len("net."):]: v for k, v in sd.items() if k.startswith("net.")}
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _t(sd["cls_token"]).reshape(1, 1, -1),
+        "new_pos_embed": _t(sd["new_pos_embed"]).reshape(1, 1, -1),
+        "freq_pos_embed": _t(sd["freq_new_pos_embed"])[0, :, :, 0].T,
+        "time_pos_embed": _t(sd["time_new_pos_embed"])[0, :, 0, :].T,
+        "norm": _norm(sd, "norm"),
+        "head_norm": _norm(sd, "head.0"),
+        "head": _linear(sd, "head.1"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "self_attn_layer_norm": _norm(sd, f"{p}.norm1"),
+            "self_attn": {
+                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "out_proj": _linear(sd, f"{p}.attn.proj"),
+            },
+            "final_layer_norm": _norm(sd, f"{p}.norm2"),
+            "fc1": _linear(sd, f"{p}.mlp.fc1"),
+            "fc2": _linear(sd, f"{p}.mlp.fc2"),
+        }
+    return params
+
+
+def load_passt_checkpoint(path: str, depth: int = 12) -> Dict[str, Any]:
+    """Load a PaSST ckpt -> PasstModel params ({"net": ...})."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt
+    if isinstance(ckpt, dict) and not any("patch_embed" in k for k in ckpt):
+        for key in ("model", "state_dict"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                sd = ckpt[key]
+                break
+    return {"net": passt_params_from_torch(sd, depth=depth)}
+
+
 def load_ast_checkpoint(path: str, depth: int = 12) -> Dict[str, Any]:
     """Load an SSAST/AST ckpt (raw timm-format state_dict, possibly saved from
     DataParallel with a `module.` prefix; reference ssast/ast_models.py:217)

@@ -657,25 +657,60 @@ def vggish(seed: int = 0, **kwargs) -> Upstream:
     )
 
 
-@register("byol_a")
-def byol_a(seed: int = 0, **kwargs) -> Upstream:
-    from ..models.audio_cnn import ByolAConfig, ByolAEncoder
-    from ..ops import audio as audio_ops
+def _byol_upstream(name, cfg, ckpt=None, seed=0, **kwargs) -> Upstream:
+    """BYOL-A / BYOL-S windowed AudioNTT2020 embeddings (see models/byol.py)."""
+    from ..models.byol import ByolModel
 
-    cfg = ByolAConfig()
-    model = ByolAEncoder(cfg)
-    mel = jnp.zeros((1, 100, cfg.n_mels), jnp.float32)
-    variables = jax.jit(lambda k: model.init(k, mel))(jax.random.key(seed))
+    model = ByolModel(cfg)
+    if ckpt is not None:
+        from .convert import load_byol_checkpoint
+
+        variables = load_byol_checkpoint(ckpt)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))
 
     def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
-        mel, lens = audio_ops.log_mel(wavs, wav_lens, n_mels=cfg.n_mels)
-        out = model.apply(variables, mel)
-        return out[None], lens // 4
+        return model.apply(variables, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
     return Upstream(
-        name="byol_a", apply_fn=apply_fn, params=variables,
-        num_layers=1, hidden_size=cfg.feature_d, downsample_rate=160 * 4,
+        name=name, apply_fn=apply_fn, params=variables,
+        num_layers=1, hidden_size=cfg.feature_d,
+        downsample_rate=int(cfg.stride_secs * 16000),
     )
+
+
+@register("byol_a")
+@register("byol_a_2048")
+def byol_a(**kwargs) -> Upstream:
+    from ..models.byol import BYOL_A_2048
+
+    return _byol_upstream("byol_a", BYOL_A_2048, **kwargs)
+
+
+@register("byol_a_1024")
+def byol_a_1024(**kwargs) -> Upstream:
+    from ..models.byol import BYOL_A_1024
+
+    return _byol_upstream("byol_a_1024", BYOL_A_1024, **kwargs)
+
+
+@register("byol_a_512")
+def byol_a_512(**kwargs) -> Upstream:
+    from ..models.byol import BYOL_A_512
+
+    return _byol_upstream("byol_a_512", BYOL_A_512, **kwargs)
+
+
+@register("byol_s")
+@register("byol_s_default")
+def byol_s(**kwargs) -> Upstream:
+    from ..models.byol import BYOL_S_DEFAULT
+
+    return _byol_upstream("byol_s", BYOL_S_DEFAULT, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -958,10 +993,80 @@ def _external_stub(name: str, package: str):
 
 
 _external_stub("pase_plus", "pase")
-_external_stub("passt", "hear21passt")
-_external_stub("lighthubert", "lighthubert")
 _external_stub("espnet_hubert", "espnet")
-_external_stub("byol_s", "serab_byols")
+
+
+# ---------------------------------------------------------------------------
+# PaSST (reference vendors hear21passt in-tree: s3prl/upstream/passt/)
+# ---------------------------------------------------------------------------
+
+
+def _passt_upstream(name, cfg, ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
+    from ..models.passt import PasstModel
+
+    model = PasstModel(cfg, dtype=dtype)
+    if ckpt is not None:
+        from .convert import load_passt_checkpoint
+
+        params = load_passt_checkpoint(ckpt, depth=cfg.depth)
+    else:
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 8000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([8000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=cfg.embedding_size,
+        downsample_rate=int(cfg.timestamp_hop_ms * 16),  # 50 ms at 16 kHz
+    )
+
+
+@register("passt")
+@register("passt_base")
+def passt_base(**kwargs) -> Upstream:
+    from ..models.passt import PASST_BASE
+
+    return _passt_upstream("passt_base", PASST_BASE, **kwargs)
+
+
+@register("passt_base2level")
+def passt_base2level(**kwargs) -> Upstream:
+    from ..models.passt import PASST_2LVL
+
+    return _passt_upstream("passt_base2level", PASST_2LVL, **kwargs)
+
+
+@register("passt_base20sec")
+def passt_base20sec(**kwargs) -> Upstream:
+    from ..models.passt import PASST_20SEC
+
+    return _passt_upstream("passt_base20sec", PASST_20SEC, **kwargs)
+
+
+@register("passt_base30sec")
+def passt_base30sec(**kwargs) -> Upstream:
+    from ..models.passt import PASST_30SEC
+
+    return _passt_upstream("passt_base30sec", PASST_30SEC, **kwargs)
+
+
+@register("passt_hop100base")
+def passt_hop100base(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP100
+
+    return _passt_upstream("passt_hop100base", PASST_HOP100, **kwargs)
+
+
+@register("passt_hop160base")
+def passt_hop160base(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP160
+
+    return _passt_upstream("passt_hop160base", PASST_HOP160, **kwargs)
 
 
 @register("vq_wav2vec_kmeans_roberta")
