@@ -129,6 +129,83 @@ def gated_bias_attention(
     return _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=interpret)
 
 
+def _fused_qkv_kernel(qkv_ref, kvlen_ref, o_ref, *, num_heads: int, scale: float):
+    """Grid cell = one batch element; all heads computed in-cell.
+
+    qkv_ref: [T, 3C] — the fused QKV projection output, read directly (the
+    head split/transpose lives in the slice indices, so no [B, H, T, Dh]
+    copies ever hit HBM). o_ref: [T, C]. One cell per b keeps the sequential
+    Pallas grid short (B cells instead of B*H), which removed the ~10 ms/layer
+    grid-dispatch overhead measured at B=128 on v5e.
+    """
+    T = qkv_ref.shape[0]
+    C = o_ref.shape[1]
+    Dh = C // num_heads
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    neg = jnp.float32(-1e9)
+    for h in range(num_heads):
+        q = qkv_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32) * scale
+        k = qkv_ref[:, C + h * Dh : C + (h + 1) * Dh].astype(jnp.float32)
+        v = qkv_ref[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [T, T]
+        scores = jnp.where(col < kv_len, scores, neg)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[:, h * Dh : (h + 1) * Dh] = (out / denom).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=False):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    Tp = -(-T // 128) * 128  # sublane/lane-friendly padding
+    qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
+    out = pl.pallas_call(
+        partial(_fused_qkv_kernel, num_heads=num_heads, scale=Dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, Tp, C3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkvp, kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :T]
+
+
+def fused_qkv_attention(qkv, kv_lens, num_heads: int, interpret: bool = False):
+    """Masked multi-head attention straight from the fused QKV buffer.
+
+    qkv[B, T, 3C] (unscaled), kv_lens[B] valid key counts (padding is
+    contiguous). Returns [B, T, C]. Forward-only. Falls back to the XLA
+    heads-last path beyond the VMEM budget.
+    """
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    if T > MAX_KERNEL_T:
+        from ..ops.attention import attention_bthd
+        from ..ops.masking import length_mask
+
+        H = num_heads
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, C // H) * ((C // H) ** -0.5)
+        out = attention_bthd(q, k.reshape(B, T, H, C // H), v.reshape(B, T, H, C // H),
+                             ~length_mask(kv_lens, T))
+        return out.reshape(B, T, C)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=interpret)
+
+
 def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)

@@ -110,19 +110,14 @@ class SelfAttention(nn.Module):
         Dh = C // H
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # one MXU matmul
         if self.use_flash and attn_bias is None:
-            from ..kernels.flash_attention import flash_attention
+            from ..kernels.flash_attention import fused_qkv_attention
 
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
-            k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
-            v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             kv_lens = (
                 (~key_padding_mask).sum(-1).astype(jnp.int32)
                 if key_padding_mask is not None
                 else jnp.full((B,), T, jnp.int32)
             )
-            out = flash_attention(q, k, v, kv_lens)
-            out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+            out = fused_qkv_attention(qkv, kv_lens, H)
         else:
             # heads-last path: pure reshapes of the qkv buffer, the head axis
             # rides as an einsum batch dim (see ops/attention.py attention_bthd)

@@ -1180,6 +1180,164 @@ def ast_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]
     return params
 
 
+def lighthubert_params_from_torch(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Slice a LightHuBERT supernet state_dict down to a fixed subnet.
+
+    Every scaling module samples a weight prefix (scaling_linear.py:76-103,
+    scaling_conv.py:57-63), so subnet extraction is host-side slicing:
+    q/k/v [:A, :E], out_proj [:E, :A], fc1 [:F, :E], fc2 [:E, :F],
+    norms [:E]; the pos conv folds weight norm on the FULL supernet weight
+    first, then slices [:E, :E/groups].
+    """
+    import jax
+
+    E, F = cfg.embed_dim, cfg.ffn_dim
+    A = cfg.num_heads * 64  # head dim is fixed at 64 (scaling_multihead.py:156)
+
+    # fc1/fc2 share weights across FFN ratios: the supernet FFN dim is split
+    # into (supernet_ffn // supernet_embed) blocks and a subnet takes the
+    # first sample_embed rows/cols OF EACH block (scaling_transformer.py:80-90
+    # + scaling_linear.py:104-131), not a plain prefix.
+    E_super = _t(sd["post_extract_proj.weight"]).shape[0]
+
+    def _ffn_rows(w_full: np.ndarray) -> np.ndarray:
+        F_super = w_full.shape[0]
+        n_blocks_super = F_super // E_super
+        block = F_super // n_blocks_super  # == E_super
+        sample_splits = F / E
+        size_split = int(F / sample_splits)  # == E
+        idx = []
+        import math as _math
+
+        for i in range(int(_math.ceil(sample_splits))):
+            take = min(size_split, F - i * size_split)
+            idx.extend(range(i * block, i * block + take))
+        return w_full[np.asarray(idx)]
+
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        conv = {"kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)}
+        if cfg.conv_bias:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+    params["feature_extractor"] = fe
+    params["layer_norm"] = _norm(sd, "layer_norm")
+    params["post_extract_proj"] = {
+        "kernel": _t(sd["post_extract_proj.weight"])[:E].T,
+        "bias": _t(sd["post_extract_proj.bias"])[:E],
+    }
+
+    enc: Dict[str, Any] = {}
+    w = _fold_weight_norm(
+        _t(sd["encoder.pos_conv.0.weight_g"]), _t(sd["encoder.pos_conv.0.weight_v"])
+    )  # [out, in/groups, k], folded over the full supernet weight
+    enc["pos_conv"] = {
+        "conv": {
+            "kernel": w[:E, : E // cfg.conv_pos_groups].transpose(2, 1, 0),
+            "bias": _t(sd["encoder.pos_conv.0.bias"])[:E],
+        }
+    }
+    ln = _norm(sd, "encoder.layer_norm")
+    enc["layer_norm"] = {"scale": ln["scale"][:E], "bias": ln["bias"][:E]}
+
+    per_layer = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.weight"])[:A, :E].T for n in ("q", "k", "v")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [_t(sd[f"{p}.self_attn.{n}_proj.bias"])[:A] for n in ("q", "k", "v")], axis=0
+        )
+
+        def norm_e(prefix):
+            n = _norm(sd, prefix)
+            return {"scale": n["scale"][:E], "bias": n["bias"][:E]}
+
+        per_layer.append(
+            {
+                "self_attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "out_proj": {
+                        "kernel": _t(sd[f"{p}.self_attn.out_proj.weight"])[:E, :A].T,
+                        "bias": _t(sd[f"{p}.self_attn.out_proj.bias"])[:E],
+                    },
+                },
+                "self_attn_layer_norm": norm_e(f"{p}.self_attn_layer_norm"),
+                "fc1": {
+                    "kernel": _ffn_rows(_t(sd[f"{p}.fc1.weight"]))[:, :E].T,
+                    "bias": _ffn_rows(_t(sd[f"{p}.fc1.bias"])[:, None])[:, 0],
+                },
+                "fc2": {
+                    # torch [E_out, F_in] -> rows :E, block-gathered cols;
+                    # transposing first puts cols on axis 0 for _ffn_rows and
+                    # lands directly in the flax [in, out] kernel layout
+                    "kernel": _ffn_rows(_t(sd[f"{p}.fc2.weight"])[:E].T),
+                    "bias": _t(sd[f"{p}.fc2.bias"])[:E],
+                },
+                "final_layer_norm": norm_e(f"{p}.final_layer_norm"),
+            }
+        )
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    params["encoder"] = enc
+    return params
+
+
+def load_lighthubert_checkpoint(path: str):
+    """Load a LightHuBERT ckpt -> (LightHubertConfig, params), replicating the
+    expert's subnet choice (expert.py:23-44): pruner ckpts use the fixed
+    published subnet of their supernet type, students use the max subnet."""
+    import ast as ast_mod
+
+    import torch
+
+    from ..models.lighthubert import (
+        SUBNET_BASE,
+        SUBNET_BASE_MAX,
+        SUBNET_SMALL,
+        SUBNET_SMALL_MAX,
+        LightHubertConfig,
+    )
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_cfg = ckpt.get("cfg", {}).get("model", {}) if isinstance(ckpt, dict) else {}
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+
+    supernet_type = str(model_cfg.get("supernet_type", "base")).lower()
+    pruner_supernet = str(model_cfg.get("pruner_supernet", "")).lower()
+    if pruner_supernet.endswith("small.yaml"):
+        supernet_type = "small"
+    elif pruner_supernet.endswith("base.yaml"):
+        supernet_type = "base"
+    name = model_cfg.get("_name", "hubert_pruner")
+    if name == "student_hubert":
+        subnet = SUBNET_BASE_MAX if supernet_type == "base" else SUBNET_SMALL_MAX
+    else:
+        subnet = SUBNET_BASE if supernet_type == "base" else SUBNET_SMALL
+
+    conv = model_cfg.get("conv_feature_layers", "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2")
+    cfg = LightHubertConfig(
+        conv_feature_layers=tuple(tuple(c) for c in ast_mod.literal_eval(str(conv)))
+        if isinstance(conv, str) else tuple(tuple(c) for c in conv),
+        extractor_mode=str(model_cfg.get("extractor_mode", "layer_norm")),
+        conv_bias=bool(model_cfg.get("conv_bias", False)),
+        embed_dim=subnet["embed_dim"],
+        num_heads=subnet["heads_num"],
+        ffn_dim=subnet["ffn_embed"],
+        num_layers=subnet["layer_num"],
+        conv_pos=int(model_cfg.get("conv_pos", 128)),
+        conv_pos_groups=int(model_cfg.get("conv_pos_groups", 16)),
+        layer_norm_first=bool(model_cfg.get("layer_norm_first", False)),
+    )
+    return cfg, lighthubert_params_from_torch(sd, cfg)
+
+
 def byol_variables_from_torch(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Map an AudioNTT2020 state_dict (byol_a/byol_s ckpts) onto
     models/byol.AudioNTT2020 under the ByolModel "net" scope.

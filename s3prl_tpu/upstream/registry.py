@@ -997,6 +997,62 @@ _external_stub("espnet_hubert", "espnet")
 
 
 # ---------------------------------------------------------------------------
+# LightHuBERT (reference vendors the supernet in-tree:
+# s3prl/upstream/lighthubert/lighthubert/ — subnet extraction is host-side
+# weight slicing, see convert.load_lighthubert_checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _lighthubert_upstream(name, default_subnet, ckpt=None, dtype=jnp.float32,
+                          seed=0, **kwargs) -> Upstream:
+    from ..models.lighthubert import LightHubertConfig, LightHubertModel
+
+    if ckpt is not None:
+        from .convert import load_lighthubert_checkpoint
+
+        cfg, params = load_lighthubert_checkpoint(ckpt)
+        model = LightHubertModel(cfg, dtype=dtype)
+    else:
+        cfg = LightHubertConfig(
+            embed_dim=default_subnet["embed_dim"],
+            num_heads=default_subnet["heads_num"],
+            ffn_dim=default_subnet["ffn_embed"],
+            num_layers=default_subnet["layer_num"],
+        )
+        model = LightHubertModel(cfg, dtype=dtype)
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        params = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))["params"]
+
+    def apply_fn(params, wavs, wav_lens, train=False, rngs=None):
+        return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=cfg.num_layers + 1, hidden_size=cfg.embed_dim,
+        downsample_rate=320,
+    )
+
+
+@register("lighthubert")
+@register("lighthubert_base")
+@register("lighthubert_stage1")
+def lighthubert(**kwargs) -> Upstream:
+    from ..models.lighthubert import SUBNET_BASE
+
+    return _lighthubert_upstream("lighthubert", SUBNET_BASE, **kwargs)
+
+
+@register("lighthubert_small")
+def lighthubert_small(**kwargs) -> Upstream:
+    from ..models.lighthubert import SUBNET_SMALL
+
+    return _lighthubert_upstream("lighthubert_small", SUBNET_SMALL, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # PaSST (reference vendors hear21passt in-tree: s3prl/upstream/passt/)
 # ---------------------------------------------------------------------------
 

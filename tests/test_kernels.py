@@ -73,3 +73,30 @@ def test_trunk_with_flash_matches_plain():
     np.testing.assert_allclose(
         np.asarray(hs_plain), np.asarray(hs_flash), atol=5e-5
     )
+
+
+def test_fused_qkv_attention_matches_xla():
+    """fused_qkv_attention (qkv buffer in, [B,T,C] out) vs the heads-last
+    XLA path, with mixed lengths."""
+    from s3prl_tpu.kernels.flash_attention import fused_qkv_attention
+    from s3prl_tpu.ops.attention import attention_bthd
+    from s3prl_tpu.ops.masking import length_mask
+
+    B, T, H, Dh = 2, 50, 4, 16
+    C = H * Dh
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * C).astype(np.float32))
+    kv_lens = jnp.asarray([50, 33], jnp.int32)
+
+    out = fused_qkv_attention(qkv, kv_lens, H, interpret=True)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, H, Dh) * (Dh ** -0.5)
+    ref = attention_bthd(
+        q, k.reshape(B, T, H, Dh), v.reshape(B, T, H, Dh),
+        ~length_mask(kv_lens, T),
+    ).reshape(B, T, C)
+    valid = np.asarray(length_mask(kv_lens, T))[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
+    )
