@@ -129,28 +129,32 @@ def gated_bias_attention(
     return _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=interpret)
 
 
-def _fused_qkv_kernel(qkv_ref, kvlen_ref, o_ref, *, num_heads: int, scale: float):
-    """Grid cell = one batch element; all heads computed in-cell.
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, *,
+                      num_heads: int, scale: float):
+    """Grid cell = (batch, query-block); all heads computed in-cell.
 
-    qkv_ref: [T, 3C] — the fused QKV projection output, read directly (the
-    head split/transpose lives in the slice indices, so no [B, H, T, Dh]
-    copies ever hit HBM). o_ref: [T, C]. One cell per b keeps the sequential
-    Pallas grid short (B cells instead of B*H), which removed the ~10 ms/layer
-    grid-dispatch overhead measured at B=128 on v5e.
+    q_ref [BQ, C] / k_ref, v_ref [T, C] are block views into the SAME fused
+    QKV projection output [B, T, 3C] (column offsets 0 / C / 2C), so the head
+    split/transpose lives entirely in the slice indices — no [B, H, T, Dh]
+    copies ever hit HBM. All heads per cell keeps the sequential Pallas grid
+    short (B * T/BQ cells instead of B*H*T/BQ), which removed the
+    ~10 ms/layer grid-dispatch overhead measured at B=128 on v5e; blocking
+    queries bounds per-cell VMEM below the 16 MB scoped limit.
     """
-    T = qkv_ref.shape[0]
+    BQ = q_ref.shape[0]
+    T = k_ref.shape[0]
     C = o_ref.shape[1]
     Dh = C // num_heads
     kv_len = kvlen_ref[pl.program_id(0), 0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
     neg = jnp.float32(-1e9)
     for h in range(num_heads):
-        q = qkv_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32) * scale
-        k = qkv_ref[:, C + h * Dh : C + (h + 1) * Dh].astype(jnp.float32)
-        v = qkv_ref[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh].astype(jnp.float32)
+        q = q_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32) * scale
+        k = k_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32)
+        v = v_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32)
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [T, T]
+        )  # [BQ, T]
         scores = jnp.where(col < kv_len, scores, neg)
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
@@ -166,20 +170,28 @@ def _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=False):
     B, T, C3 = qkv.shape
     C = C3 // 3
     Dh = C // num_heads
-    Tp = -(-T // 128) * 128  # sublane/lane-friendly padding
+    BQ = 256
+    Tp = -(-T // BQ) * BQ
     qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
     out = pl.pallas_call(
         partial(_fused_qkv_kernel, num_heads=num_heads, scale=Dh ** -0.5),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), qkv.dtype),
-        grid=(B,),
+        grid=(B, Tp // BQ),
         in_specs=[
-            pl.BlockSpec((None, Tp, C3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # three views into the same [B, T, 3C] buffer: q rows for this
+            # query block, full-length k and v columns
+            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 2),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
         ],
-        out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qkvp, kv_lens.reshape(B, 1).astype(jnp.int32))
+    )(qkvp, qkvp, qkvp, kv_lens.reshape(B, 1).astype(jnp.int32))
     return out[:, :T]
 
 

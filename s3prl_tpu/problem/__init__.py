@@ -13,9 +13,13 @@ from .pretrain import (
     PretrainData2Vec,
     PretrainData2VecExample,
     PretrainAudioAlbert,
+    PretrainDistiller,
     PretrainExample,
     PretrainHubert,
     PretrainHubertExample,
     PretrainMockingjay,
+    PretrainNPC,
+    PretrainSpecAugment,
     PretrainTera,
+    PretrainVqApc,
 )

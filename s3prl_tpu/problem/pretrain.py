@@ -92,8 +92,11 @@ class PretrainProblem(Problem):
         buckets = Buckets.linear(config.get("bucket_step", 16000), 16000 * 30)
         return DataLoader(ds, sampler, lambda items: pad_collate(items, buckets))
 
+    def build_feature_upstream(self, config: dict):
+        return hub_load(self.feature_upstream)
+
     def train_stage(self, workspace: Path, config: dict):
-        upstream = hub_load(self.feature_upstream)
+        upstream = self.build_feature_upstream(config)
         task = self.build_task(config)
         trainer = Trainer(
             upstream, task, workspace / "train",
@@ -218,6 +221,162 @@ class PretrainAPC(PretrainProblem):
                 return pred, lens
 
         return AutoregressiveReconstructionTask(Wrapper(), **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainVqApc(PretrainAPC):
+    """VQ-APC: APC with gumbel-softmax codebooks between GRU layers
+    (reference: pretrain/vq_apc/config_model.yaml)."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["build_model"].update(
+            vq_codebook_size=(512,), vq_code_dim=(512,)
+        )
+        return cfg
+
+    def build_task(self, config: dict):
+        from ..models.apc import APCConfig, APCModel
+        from ..task.reconstruction import AutoregressiveReconstructionTask
+
+        mc = dict(config.get("build_model", {}))
+        for key in ("vq_codebook_size", "vq_code_dim"):
+            if key in mc and not isinstance(mc[key], tuple):
+                mc[key] = tuple(mc[key])
+        cfg = APCConfig(**mc)
+
+        class Wrapper(nn.Module):
+            @nn.compact
+            def __call__(self, feats, feat_lens, train=False):
+                hs, pred, lens = APCModel(cfg, name="apc")(feats, feat_lens, train=train)
+                return pred, lens
+
+        return AutoregressiveReconstructionTask(Wrapper(), **config.get("build_task", {}))
+
+
+class PretrainNPC(PretrainProblem):
+    """Non-autoregressive predictive coding: reconstruct each frame from a
+    masked conv context (reference: pretrain/npc/config_model.yaml)."""
+
+    feature_upstream = "mel"
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "build_model": {
+                "input_size": 80, "hidden_size": 512, "n_blocks": 4,
+                "kernel_size": 15, "mask_size": 5,
+            },
+            "build_task": {"loss": "L1"},
+            "build_batch_sampler": {"batch_size": 32},
+            "build_optimizer": {"name": "Adam", "lr": 1.0e-3},
+            "train": {"total_steps": 100000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_task(self, config: dict):
+        from ..models.npc import NPCConfig, NPCModel
+        from ..task.reconstruction import NpcReconstructionTask
+
+        cfg = NPCConfig(**config.get("build_model", {}))
+
+        class Wrapper(nn.Module):
+            @nn.compact
+            def __call__(self, feats, feat_lens, train=False):
+                hs, pred, lens = NPCModel(cfg, name="npc")(feats, feat_lens, train=train)
+                return pred, lens
+
+        return NpcReconstructionTask(Wrapper(), **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainSpecAugment(PretrainProblem):
+    """SpecAugment-corruption pretraining: reconstruct LD-policy-masked
+    cells (reference: pretrain/spec_augment/pretrain_expert.py + task.py)."""
+
+    feature_upstream = "fbank"
+    input_dim = 240
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "build_model": {
+                "hidden_size": 768, "num_hidden_layers": 3,
+                "num_attention_heads": 12, "intermediate_size": 3072,
+            },
+            "build_task": {
+                "loss": "L1", "freq_mask_width": 27, "freq_mask_num": 2,
+                "time_mask_width": 100, "time_mask_num": 2,
+            },
+            "build_batch_sampler": {"batch_size": 8},
+            "build_optimizer": {"name": "AdamW", "lr": 2.0e-4},
+            "train": {"total_steps": 1000000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_task(self, config: dict):
+        from ..models.mockingjay import MockingjayConfig
+        from ..task.reconstruction import SpecAugReconstructionTask
+
+        enc_cfg = MockingjayConfig(
+            input_dim=self.input_dim, **config.get("build_model", {})
+        )
+        module = _mam_model(enc_cfg, self.input_dim)
+        return SpecAugReconstructionTask(module, **config.get("build_task", {}))
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+
+class PretrainDistiller(PretrainProblem):
+    """DistilHuBERT: distill a frozen teacher's layers into a 2-layer
+    student (reference: pretrain/distiller/config_model.yaml). The teacher
+    rides as the Trainer's frozen upstream."""
+
+    def default_config(self) -> dict:
+        return {
+            "target_dir": "???",
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "teacher": {"name": "hubert", "ckpt": None},
+            "build_model": {
+                "encoder_layers": 2, "encoder_embed_dim": 768,
+                "encoder_ffn_embed_dim": 3072, "encoder_attention_heads": 12,
+                "final_dim": 768, "n_tasks": 3,
+            },
+            "build_task": {
+                "pred_layer_id": [4, 8, 12], "loss_type": "l1", "cosine_loss": 1.0,
+            },
+            "build_batch_sampler": {"batch_size": 12},
+            "build_optimizer": {"name": "AdamW", "lr": 2.0e-4},
+            "train": {"total_steps": 200000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
+        }
+
+    def build_feature_upstream(self, config: dict):
+        teacher = config.get("teacher", {"name": "hubert"})
+        return hub_load(teacher.get("name", "hubert"), ckpt=teacher.get("ckpt"))
+
+    def build_task(self, config: dict):
+        from ..models.distiller import DistillerConfig, DistillerModel
+        from ..task.distiller_pretrain import DistillerPretrainTask
+
+        mc = dict(config.get("build_model", {}))
+        if "conv_feature_layers" in mc and not isinstance(mc["conv_feature_layers"], tuple):
+            mc["conv_feature_layers"] = tuple(tuple(c) for c in mc["conv_feature_layers"])
+        cfg = DistillerConfig(**mc)
+        module = DistillerModel(cfg)
+        tc = dict(config.get("build_task", {}))
+        tc.setdefault("pred_layer_id", list(range(1, cfg.n_tasks + 1)))
+        return DistillerPretrainTask(module, n_tasks=cfg.n_tasks, **tc)
 
     def prepare_data(self, workspace: Path, config: dict):
         from ..data.corpus.librispeech import prepare_librispeech_asr
