@@ -149,20 +149,24 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
     neg = jnp.float32(-1e9)
     for h in range(num_heads):
-        q = q_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32) * scale
-        k = k_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32)
-        v = v_ref[:, h * Dh : (h + 1) * Dh].astype(jnp.float32)
+        # matmul operands stay in the input dtype — bf16 runs the MXU at
+        # full rate while f32 operands decompose (~8x slower); accumulation
+        # and the softmax are f32
+        q = q_ref[:, h * Dh : (h + 1) * Dh]
+        k = k_ref[:, h * Dh : (h + 1) * Dh]
+        v = v_ref[:, h * Dh : (h + 1) * Dh]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, T]
+        ) * scale  # [BQ, T]
         scores = jnp.where(col < kv_len, scores, neg)
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=1, keepdims=True)
         out = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        o_ref[:, h * Dh : (h + 1) * Dh] = (out / denom).astype(o_ref.dtype)
+        o_ref[:, h * Dh : (h + 1) * Dh] = out.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "interpret"))

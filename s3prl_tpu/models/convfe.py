@@ -89,11 +89,51 @@ class _Im2ColConv(nn.Module):
         return out
 
 
+class _Im2ColConvGeneral(nn.Module):
+    """Valid strided conv as patches + one MXU matmul, any C_in.
+
+    Parameter path/shape identical to nn.Conv ('kernel' [k, in, out], fp32);
+    only the lowering differs — the strided patch extraction feeds a single
+    dense [B*T', in*k] @ [in*k, out] GEMM, which the MXU sustains at a much
+    higher rate than XLA's strided-conv lowering for this k=2/3 C=512 shape.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        import jax
+
+        k, cin = self.kernel_size, x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, cin, self.features), jnp.float32
+        )
+        patches = jax.lax.conv_general_dilated_patches(
+            jnp.transpose(x, (0, 2, 1)),  # [B, C, T]
+            filter_shape=(k,),
+            window_strides=(self.stride,),
+            padding="VALID",
+        )  # [B, C*k, T'] with the channel axis ordered (C major, k minor)
+        w = kernel.transpose(1, 0, 2).reshape(cin * k, self.features)
+        out = jnp.einsum(
+            "bft,fo->bto", patches.astype(self.dtype), w.astype(self.dtype)
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"  # "default" | "layer_norm"
     conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    impl: str = "conv"  # "conv" (XLA strided conv) | "im2col" (patch GEMMs)
 
     @nn.compact
     def __call__(self, wavs: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +146,10 @@ class ConvFeatureExtractor(nn.Module):
                 # _Im2ColConv computes the identical op as a patches matmul
                 # (same param path/shape as nn.Conv for ckpt compatibility)
                 x = _Im2ColConv(dim, k, stride, self.conv_bias, self.dtype, name="conv_0")(x)
+            elif self.impl == "im2col":
+                x = _Im2ColConvGeneral(
+                    dim, k, stride, self.conv_bias, self.dtype, name=f"conv_{i}"
+                )(x)
             else:
                 x = nn.Conv(
                     features=dim,

@@ -3,7 +3,27 @@ from .common import CommonExample, IcExample, SuperbER, SuperbIC, SuperbKS, Supe
 from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
 from .asv import AsvExample, SuperbASV
 from .diarization import SdExample, SuperbSD
-from .hear import HearEvent, HearEventExample, HearScene
+from .hear import (
+    HearBeijingOpera,
+    HearCremaD,
+    HearDcase2016Task2,
+    HearESC50,
+    HearEvent,
+    HearEventExample,
+    HearFSD,
+    HearGSC5hr,
+    HearGtzan,
+    HearGtzanMusicSpeech,
+    HearGunshot,
+    HearLibriCount,
+    HearMaestro,
+    HearNsynth5hr,
+    HearScene,
+    HearStroke,
+    HearTonic,
+    HearVocal,
+    HearVoxLingual,
+)
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST

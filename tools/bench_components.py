@@ -89,11 +89,36 @@ def bench_matmul():
     report("matmul", ms, flops, f"M={M} chained qkv/out/fc1/fc2")
 
 
-def bench_conv():
+def bench_attn_kernel():
+    """fused_qkv_attention alone at the bench shapes."""
+    from s3prl_tpu.kernels.flash_attention import fused_qkv_attention
+
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, T_FEAT, 3 * C).astype(np.float32) * 0.05, DT)
+    kv_lens = jnp.full((B,), T_FEAT, jnp.int32)
+
+    @jax.jit
+    def loop(qkv):
+        def body(i, carry):
+            x, acc = carry
+            o = fused_qkv_attention(x, kv_lens, H)
+            dep = 0.0 * o[:, :1, :1].astype(x.dtype)
+            return (x + jnp.pad(dep, ((0, 0), (0, x.shape[1] - 1), (0, x.shape[2] - 1))),
+                    acc + o[0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (qkv, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, qkv)
+    flops = B * H * 2 * 2 * T_FEAT * T_FEAT * (C // H)
+    report("attn_kernel", ms, flops, f"B={B} T={T_FEAT}")
+
+
+def bench_conv(impl="conv"):
     from s3prl_tpu.models.convfe import ConvFeatureExtractor, DEFAULT_CONV_LAYERS
 
     layers = tuple((512, k, s) for (_, k, s) in DEFAULT_CONV_LAYERS)
-    mod = ConvFeatureExtractor(layers, "layer_norm", False, DT)
+    mod = ConvFeatureExtractor(layers, "layer_norm", False, DT, impl=impl)
     rng = np.random.RandomState(0)
     wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
     params = jax.jit(mod.init)(jax.random.key(0), wavs)
@@ -118,7 +143,7 @@ def bench_conv():
         t = (t - k) // s + 1
         macs += t * cin * c * k
         cin = c
-    report("conv", ms, 2 * macs * B, f"out_T={t}")
+    report(f"conv_{impl}", ms, 2 * macs * B, f"out_T={t}")
 
 
 def bench_posconv():
@@ -209,7 +234,11 @@ if __name__ == "__main__":
             if c == "matmul":
                 bench_matmul()
             elif c == "conv":
-                bench_conv()
+                bench_conv("conv")
+            elif c == "conv_im2col":
+                bench_conv("im2col")
+            elif c == "attn":
+                bench_attn_kernel()
             elif c == "posconv":
                 bench_posconv()
             elif c == "encoder":
