@@ -51,6 +51,7 @@ class TrainerConfig:
     seed: int = 1337
     optimizer: dict = field(default_factory=lambda: {"name": "Adam", "lr": 1.0e-4})
     upstream_trainable: bool = False
+    tensorboard: bool = True  # leader-only event files under exp_dir/tb
 
 
 def _split_batch(batch: dict):
@@ -91,6 +92,15 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self._best_metric = None
+        if tb_writer is None and config.tensorboard and jax.process_index() == 0:
+            # TensorBoard event output alongside JSONL, leader-only
+            # (reference: s3prl/problem/base.py:466-468 SummaryWriter usage)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer = SummaryWriter(log_dir=str(self.exp_dir / "tb"))
+            except Exception as e:  # TB optional: JSONL remains authoritative
+                logger.info(f"tensorboard writer unavailable ({e}); JSONL only")
         self._tb = tb_writer
         self._metrics_file = self.exp_dir / "metrics.jsonl"
 

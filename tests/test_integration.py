@@ -242,3 +242,15 @@ def test_hear_event_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert 0.0 <= logs["event_f1"] <= 1.0
+
+
+def test_tensorboard_events_written(tmp_path):
+    """TB event files appear next to metrics.jsonl (problem/base.py:466-468)."""
+    from s3prl_tpu.problem import PretrainExample
+
+    problem = PretrainExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    problem.run(str(tmp_path), **config)
+    events = list((tmp_path / "train" / "tb").glob("events.out.tfevents.*"))
+    assert events, "no tensorboard events file written"

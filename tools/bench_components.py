@@ -239,6 +239,8 @@ if __name__ == "__main__":
                 bench_conv("im2col")
             elif c == "attn":
                 bench_attn_kernel()
+            elif c == "attn_official":
+                bench_attn_official()
             elif c == "posconv":
                 bench_posconv()
             elif c == "encoder":
@@ -249,3 +251,47 @@ if __name__ == "__main__":
                 bench_full()
         except Exception as e:  # keep going; one component failing is itself data
             print(json.dumps({"component": c, "error": repr(e)}), flush=True)
+
+
+def bench_attn_official():
+    """jax's tuned pallas flash_attention (incl. the qkv->BHTD transposes)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, T_FEAT, 3 * C).astype(np.float32) * 0.05, DT)
+    kv_lens = jnp.full((B,), T_FEAT, jnp.int32)
+    Dh = C // H
+
+    @jax.jit
+    def loop(qkv):
+        Tp = -(-T_FEAT // 128) * 128
+        seg_q = jnp.ones((B, Tp), jnp.int32)
+        seg_kv = (jnp.arange(Tp)[None] < kv_lens[:, None]).astype(jnp.int32)
+
+        def attn(x):
+            xp = jnp.pad(x, ((0, 0), (0, Tp - T_FEAT), (0, 0)))
+            q, k, v = jnp.split(xp, 3, axis=-1)
+            q = q.reshape(B, Tp, H, Dh).transpose(0, 2, 1, 3)
+            k = k.reshape(B, Tp, H, Dh).transpose(0, 2, 1, 3)
+            v = v.reshape(B, Tp, H, Dh).transpose(0, 2, 1, 3)
+            o = flash_attention(
+                q, k, v, segment_ids=SegmentIds(seg_q, seg_kv),
+                sm_scale=Dh ** -0.5,
+            )
+            return o.transpose(0, 2, 1, 3).reshape(B, Tp, C)[:, :T_FEAT]
+
+        def body(i, carry):
+            x, acc = carry
+            o = attn(x)
+            dep = 0.0 * o[:, :1, :1].astype(x.dtype)
+            return (x + jnp.pad(dep, ((0, 0), (0, x.shape[1] - 1), (0, x.shape[2] - 1))),
+                    acc + o[0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (qkv, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, qkv)
+    flops = B * H * 2 * 2 * T_FEAT * T_FEAT * (C // H)
+    report("attn_official", ms, flops, f"B={B} T={T_FEAT}")
