@@ -109,6 +109,9 @@ class SuperbSD(Problem):
         load_dir = best if best.exists() else ckpt.latest_checkpoint(workspace / "train")
         if load_dir is not None:
             trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
+        # hypothesis RTTMs land next to the scores (reference diarization
+        # inference writes RTTM during test, task/diarization.py)
+        trainer.task.rttm_dir = workspace / "rttm"
         logs = trainer.evaluate(loader, mode="test")
         with open(workspace / "result.yaml", "w") as f:
             yaml.safe_dump({"test": logs}, f)

@@ -25,10 +25,15 @@ from ..ops.masking import length_mask
 
 
 class DiarizationPITTask(Task):
-    def __init__(self, module, num_speakers: int = 2):
+    def __init__(self, module, num_speakers: int = 2, frame_shift_sec: float = 0.02,
+                 rttm_dir=None):
         self.module = module  # (hs, h_lens) -> (logits [B,T,S], lens)
         self.num_speakers = num_speakers
         self.perms = list(itertools.permutations(range(num_speakers)))
+        self.frame_shift_sec = frame_shift_sec
+        # when set, test-mode reduction dumps hypothesis RTTMs here
+        # (reference: s3prl/task/diarization.py writes RTTM at inference)
+        self.rttm_dir = rttm_dir
         self.host_keys = ("unique_name",)
 
     valid_metric = "der"
@@ -85,4 +90,32 @@ class DiarizationPITTask(Task):
             + acc.get("speaker_falarm", 0.0)
             + acc.get("speaker_error", 0.0)
         ) / denom
+        if mode == "test" and self.rttm_dir is not None:
+            self._dump_rttm(records)
         return {"der": der, "loss": float(np.mean(losses))}
+
+    def _dump_rttm(self, records) -> None:
+        """Hypothesis RTTMs from thresholded activities (one file per batch
+        record set, standard `SPEAKER <utt> 1 <start> <dur> ...` lines)."""
+        from pathlib import Path
+
+        out_dir = Path(self.rttm_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        shift = self.frame_shift_sec
+        with open(out_dir / "hyp.rttm", "w") as f:
+            for r in records:
+                preds = np.asarray(r["prediction"])
+                lens = np.asarray(r["prediction_len"])
+                names = r.get("unique_name", [f"utt{i}" for i in range(len(preds))])
+                for b in range(len(preds)):
+                    name = str(names[b])
+                    n = int(lens[b])
+                    for s in range(preds.shape[-1]):
+                        act = np.concatenate([[0], preds[b, :n, s], [0]])
+                        starts = np.flatnonzero(np.diff(act) == 1)
+                        ends = np.flatnonzero(np.diff(act) == -1)
+                        for st, en in zip(starts, ends):
+                            f.write(
+                                f"SPEAKER {name} 1 {st * shift:.3f} "
+                                f"{(en - st) * shift:.3f} <NA> <NA> spk{s} <NA> <NA>\n"
+                            )

@@ -96,6 +96,9 @@ def test_sd_example_full_run(tmp_path):
     logs = results["evaluate_stage"]["test"]
     assert logs["der"] >= 0.0
     assert np.isfinite(logs["loss"])
+    # hypothesis RTTM written during test inference
+    rttm = (tmp_path / "rttm" / "hyp.rttm")
+    assert rttm.exists()
 
 
 def test_hubert_pretrain_example(tmp_path):
