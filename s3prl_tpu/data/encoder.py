@@ -274,3 +274,65 @@ class CharacterSlotTokenizer(Tokenizer):
 
 
 TOKENIZER_TYPES["CharacterSlotTokenizer"] = CharacterSlotTokenizer
+
+
+# BERT wordpiece vocab window used by the reference's ASR tokenizer
+# (tokenizer.py:17-19): ids are shifted so the usable wordpiece range starts
+# at 1, with everything outside the window mapped to <unk>.
+BERT_FIRST_IDX = 997
+BERT_LAST_IDX = 29635
+
+
+class BertTokenizer:
+    """transformers-backed BERT wordpiece tokenizer (reference
+    dataio/encoder/tokenizer.py:448-500): encodes through a pretrained
+    `bert-*` vocab, shifting ids by BERT_FIRST_IDX to compact the vocab,
+    with <pad>=0-equivalent handling from the base scheme."""
+
+    def __init__(self, tokenizer):
+        self._tokenizer = tokenizer
+
+    @classmethod
+    def load_from_file(cls, vocab_file: str) -> "BertTokenizer":
+        from transformers import BertTokenizer as _HFBert
+
+        return cls(_HFBert.from_pretrained(vocab_file))
+
+    # the reference reserves the sub-window ids; idx 0 acts as pad/blank
+    @property
+    def vocab_size(self) -> int:
+        return BERT_LAST_IDX - BERT_FIRST_IDX + 1
+
+    @property
+    def pad_idx(self) -> int:
+        return 0
+
+    @property
+    def unk_idx(self) -> int:
+        return (self._tokenizer.convert_tokens_to_ids("[UNK]") or 100) - BERT_FIRST_IDX
+
+    @property
+    def eos_idx(self) -> int:
+        return (self._tokenizer.convert_tokens_to_ids("[SEP]") or 102) - BERT_FIRST_IDX
+
+    @property
+    def token_type(self) -> str:
+        return "bert"
+
+    def encode(self, text: str) -> List[int]:
+        reduced = []
+        for idx in self._tokenizer.encode(text):
+            r = idx - BERT_FIRST_IDX
+            reduced.append(r if r > 0 else self.unk_idx)
+        reduced.append(self.eos_idx)
+        return reduced
+
+    def decode(self, ids: List[int], ignore_repeat: bool = False) -> str:
+        crop = []
+        for t, idx in enumerate(ids):
+            if idx == self.eos_idx:
+                break
+            if idx == self.pad_idx or (ignore_repeat and t > 0 and idx == ids[t - 1]):
+                continue
+            crop.append(idx + BERT_FIRST_IDX)
+        return self._tokenizer.decode(crop)

@@ -174,7 +174,9 @@ def _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=False):
     B, T, C3 = qkv.shape
     C = C3 // 3
     Dh = C // num_heads
-    BQ = 256
+    # larger query blocks amortize grid dispatch and feed the MXU bigger
+    # matmuls; 512 keeps per-cell VMEM ~12 MB under the 16 MB scoped limit
+    BQ = 512 if T <= 512 else 256
     Tp = -(-T // BQ) * BQ
     qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
     out = pl.pallas_call(

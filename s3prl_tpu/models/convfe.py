@@ -128,6 +128,29 @@ class _Im2ColConvGeneral(nn.Module):
         return out
 
 
+class _ParamOnly(nn.Module):
+    """Declares nn.Conv's 'kernel' param without binding compute — used when
+    the fused Pallas front-end kernel consumes the weights directly."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+
+
+class _NormParams(nn.Module):
+    """nn.LayerNorm's 'scale'/'bias' params, compute handled by the kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"  # "default" | "layer_norm"
@@ -139,8 +162,29 @@ class ConvFeatureExtractor(nn.Module):
     def __call__(self, wavs: jnp.ndarray) -> jnp.ndarray:
         """wavs[B, T] -> features[B, T', C] (valid conv, total stride 320)."""
         assert self.mode in ("default", "layer_norm")
+        import jax
+
         x = wavs[..., None].astype(self.dtype)  # [B, T, 1]
+        dim0, k0, s0 = self.conv_layers[0]
+        fuse0 = (
+            self.mode == "layer_norm" and not self.conv_bias and k0 == 2 * s0
+        )
+        if fuse0:
+            # fused conv0+LN+GELU Pallas kernel: the layer-0 output is the
+            # biggest tensor of the pipeline and XLA's lowering round-trips
+            # it through HBM several times (kernels/conv_frontend.py). Param
+            # paths stay identical to the unfused modules.
+            from ..kernels.conv_frontend import conv0_ln_gelu
+
+            kernel = _ParamOnly((k0, 1, dim0), name="conv_0")()
+            scale, bias = _NormParams(dim0, name="ln_0")()
+            x = conv0_ln_gelu(
+                wavs.astype(self.dtype), kernel, scale, bias, stride=s0, k=k0,
+                interpret=jax.default_backend() == "cpu",
+            )
         for i, (dim, k, stride) in enumerate(self.conv_layers):
+            if i == 0 and fuse0:
+                continue  # handled by the fused kernel above
             if i == 0:
                 # the C_in=1 waveform conv lowers poorly onto the MXU;
                 # _Im2ColConv computes the identical op as a patches matmul

@@ -173,3 +173,26 @@ def test_time_warp_preserves_shape_and_mass():
     # endpoints are fixed points of the warp
     np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0], atol=1e-5)
     assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_bert_tokenizer_shift(tmp_path):
+    """BertTokenizer windowing (reference tokenizer.py:448-500): ids shift by
+    BERT_FIRST_IDX, out-of-window ids map to <unk>, decode inverts."""
+    transformers = pytest.importorskip("transformers")
+    from s3prl_tpu.data.encoder import BERT_FIRST_IDX, BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    vocab += [f"tok{i}" for i in range(BERT_FIRST_IDX - len(vocab))]
+    vocab += ["hello", "world"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n")
+
+    hf = transformers.BertTokenizer(str(vf), do_lower_case=True)
+    tok = BertTokenizer(hf)
+    ids = tok.encode("hello world")
+    assert ids[-1] == tok.eos_idx
+    # "world" sits at raw id BERT_FIRST_IDX+1 -> shifted id 1
+    assert 1 in ids
+    assert "world" in tok.decode(ids)
+    # [CLS] (raw id 2) falls outside the window -> <unk>
+    assert ids[0] == tok.unk_idx

@@ -226,33 +226,6 @@ def bench_full():
     report("full", ms, flops, f"audio-sec/s={B * SECS / ms:.0f}")
 
 
-if __name__ == "__main__":
-    comps = os.environ.get("COMP", "matmul,conv,posconv,encoder,full").split(",")
-    for c in comps:
-        c = c.strip()
-        try:
-            if c == "matmul":
-                bench_matmul()
-            elif c == "conv":
-                bench_conv("conv")
-            elif c == "conv_im2col":
-                bench_conv("im2col")
-            elif c == "attn":
-                bench_attn_kernel()
-            elif c == "attn_official":
-                bench_attn_official()
-            elif c == "posconv":
-                bench_posconv()
-            elif c == "encoder":
-                bench_encoder(flash=True)
-            elif c == "encoder_xla":
-                bench_encoder(flash=False)
-            elif c == "full":
-                bench_full()
-        except Exception as e:  # keep going; one component failing is itself data
-            print(json.dumps({"component": c, "error": repr(e)}), flush=True)
-
-
 def bench_attn_official():
     """jax's tuned pallas flash_attention (incl. the qkv->BHTD transposes)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -295,3 +268,80 @@ def bench_attn_official():
     ms = timeit(loop, qkv)
     flops = B * H * 2 * 2 * T_FEAT * T_FEAT * (C // H)
     report("attn_official", ms, flops, f"B={B} T={T_FEAT}")
+
+
+def bench_conv_layers():
+    """Each conv layer (+ its LN+GELU) timed separately, at bench batch."""
+    import flax.linen as nn
+
+    from s3prl_tpu.models.convfe import DEFAULT_CONV_LAYERS, _Im2ColConv
+
+    rng = np.random.RandomState(0)
+    t = T_WAV
+    cin = 1
+    x_np = np.random.default_rng(0).standard_normal((B, t, 1), dtype=np.float32)
+    for i, (cout, k, stride) in enumerate(DEFAULT_CONV_LAYERS):
+        cout = 512
+
+        class Layer(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                if i == 0:
+                    y = _Im2ColConv(cout, k, stride, False, DT, name="conv")(x)
+                else:
+                    y = nn.Conv(cout, (k,), strides=(stride,), padding="VALID",
+                                use_bias=False, dtype=DT, name="conv")(x)
+                y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(y).astype(DT)
+                return nn.gelu(y, approximate=False)
+
+        mod = Layer()
+        x = jnp.asarray(x_np, DT)
+        params = jax.jit(mod.init)(jax.random.key(0), x)
+
+        @jax.jit
+        def loop(params, x):
+            def body(_, carry):
+                h, acc = carry
+                f = mod.apply(params, h)
+                dep = 0.0 * f[:, :1, :1].astype(h.dtype)
+                return (h + jnp.pad(dep, ((0, 0), (0, h.shape[1] - 1), (0, h.shape[2] - 1))),
+                        acc + f[0, 0, 0].astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0)))
+            return acc
+
+        ms = timeit(loop, params, x)
+        t_out = (t - k) // stride + 1
+        macs = B * t_out * cin * cout * k
+        report(f"conv_layer{i}", ms, 2 * macs, f"T={t}->{t_out} cin={cin} k={k}")
+        t, cin = t_out, cout
+        x_np = np.random.default_rng(i).standard_normal((B, t, cin), dtype=np.float32) * 0.1
+
+
+if __name__ == "__main__":
+    comps = os.environ.get("COMP", "matmul,conv,posconv,encoder,full").split(",")
+    for c in comps:
+        c = c.strip()
+        try:
+            if c == "matmul":
+                bench_matmul()
+            elif c == "conv":
+                bench_conv("conv")
+            elif c == "conv_im2col":
+                bench_conv("im2col")
+            elif c == "attn":
+                bench_attn_kernel()
+            elif c == "attn_official":
+                bench_attn_official()
+            elif c == "conv_layers":
+                bench_conv_layers()
+            elif c == "posconv":
+                bench_posconv()
+            elif c == "encoder":
+                bench_encoder(flash=True)
+            elif c == "encoder_xla":
+                bench_encoder(flash=False)
+            elif c == "full":
+                bench_full()
+        except Exception as e:  # keep going; one component failing is itself data
+            print(json.dumps({"component": c, "error": repr(e)}), flush=True)
