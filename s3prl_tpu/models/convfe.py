@@ -159,8 +159,12 @@ class ConvFeatureExtractor(nn.Module):
     impl: str = "conv"  # "conv" (XLA strided conv) | "im2col" (patch GEMMs)
 
     @nn.compact
-    def __call__(self, wavs: jnp.ndarray) -> jnp.ndarray:
-        """wavs[B, T] -> features[B, T', C] (valid conv, total stride 320)."""
+    def __call__(self, wavs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """wavs[B, T] -> features[B, T', C] (valid conv, total stride 320).
+
+        `train=True` routes layer 0 through the differentiable XLA path (the
+        fused Pallas kernel is forward-only); extraction keeps the kernel.
+        """
         assert self.mode in ("default", "layer_norm")
         import jax
 
@@ -168,6 +172,7 @@ class ConvFeatureExtractor(nn.Module):
         dim0, k0, s0 = self.conv_layers[0]
         fuse0 = (
             self.mode == "layer_norm" and not self.conv_bias and k0 == 2 * s0
+            and not train
         )
         if fuse0:
             # fused conv0+LN+GELU Pallas kernel: the layer-0 output is the

@@ -80,7 +80,7 @@ class DistillerModel(nn.Module):
         feat = ConvFeatureExtractor(
             cfg.conv_feature_layers, cfg.extractor_mode, False, self.dtype,
             name="feature_extractor",
-        )(wavs)
+        )(wavs, train=not deterministic)
         t_feat = feat.shape[1]
         # the distiller uses strict conv arithmetic for its pad mask
         # (model.py:272 cal_pad_mask), unlike hubert's block-folded rule

@@ -218,7 +218,7 @@ class MultiresHubertModel(nn.Module):
         feat = ConvFeatureExtractor(
             cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias, self.dtype,
             name="feature_extractor",
-        )(wavs)
+        )(wavs, train=not deterministic)
         t_feat = feat.shape[1]
         r = max(wavs.shape[1] // max(t_feat, 1), 1)
         lens = jnp.minimum(-(-wav_lens // r), t_feat)

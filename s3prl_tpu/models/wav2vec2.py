@@ -120,7 +120,7 @@ class Wav2Vec2Trunk(nn.Module):
         features = ConvFeatureExtractor(
             cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias, self.dtype,
             name="feature_extractor",
-        )(wavs)
+        )(wavs, train=not deterministic)
         # The reference derives the feature-level padding mask by folding the
         # wav-level mask into blocks of r = T_wav // T_feat samples and
         # marking a frame padded only when ALL its samples are padded

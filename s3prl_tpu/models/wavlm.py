@@ -175,7 +175,7 @@ class WavLMModel(nn.Module):
         features = ConvFeatureExtractor(
             cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias, self.dtype,
             name="feature_extractor",
-        )(wavs)
+        )(wavs, train=not deterministic)
         t_feat = features.shape[1]
         r = max(wavs.shape[1] // max(t_feat, 1), 1)
         feat_lens = jnp.minimum(-(-wav_lens // r), t_feat)
