@@ -42,89 +42,18 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _ln_gelu(y, scale_ref, bias_ref):
-    mean = jnp.mean(y, axis=1, keepdims=True)
-    var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
-    return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))  # exact-GELU (A&S erf)
-
-
 def _kernel(a_ref, b_ref, w_ref, scale_ref, bias_ref, o_ref):
     patches = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # [CT, k]
     y = jax.lax.dot_general(
         patches, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, C] fp32
-    o_ref[0] = _ln_gelu(y, scale_ref, bias_ref).astype(o_ref.dtype)
-
-
-def _kernel_mid2(p_ref, w_ref, scale_ref, bias_ref, o_ref):
-    """k=2, s=2 mid layer: patches are a pure reshape [CT, 2C]."""
-    y = jax.lax.dot_general(
-        p_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = _ln_gelu(y, scale_ref, bias_ref).astype(o_ref.dtype)
-
-
-def _kernel_mid3(p_ref, c_ref, w_ref, scale_ref, bias_ref, o_ref):
-    """k=3, s=2 mid layer: taps (2t, 2t+1) from the reshape + third tap."""
-    patches = jnp.concatenate([p_ref[0], c_ref[0]], axis=1)  # [CT, 3C]
-    y = jax.lax.dot_general(
-        patches, w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = _ln_gelu(y, scale_ref, bias_ref).astype(o_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("k", "interpret"))
-def conv_s2_ln_gelu(x, kernel, scale, bias, k: int = 3, interpret: bool = False):
-    """Stride-2 conv (k in {2, 3}) + LayerNorm + exact GELU, one VMEM pass.
-
-    x [B, T, C], kernel [k, C, Cout] (nn.Conv layout). The stride-2 taps
-    (2t, 2t+1) come from a free reshape; k=3 adds one strided-slice view for
-    the third tap. The matmul is [CT, k*C] @ [k*C, Cout] — a far better MXU
-    shape than XLA's strided-conv lowering at C=512, and the LN/GELU never
-    round-trip HBM.
-    """
-    assert k in (2, 3)
-    B, T, C = x.shape
-    Cout = kernel.shape[-1]
-    T_out = (T - k) // 2 + 1
-    ct = min(CHUNK, 1024)
-    n_blocks = -(-T_out // ct)
-    Tp_out = n_blocks * ct
-    need = 2 * Tp_out + (k - 2)
-    xp = jnp.pad(x, ((0, 0), (0, max(need - T, 0)), (0, 0)))
-    p01 = xp[:, : 2 * Tp_out].reshape(B, Tp_out, 2 * C)
-    w = kernel.reshape(k * C, Cout).astype(x.dtype)
-    args = [p01]
-    specs = [
-        pl.BlockSpec((1, ct, 2 * C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    ]
-    if k == 3:
-        c_tap = xp[:, 2 : 2 * Tp_out + 2 : 2]  # [B, Tp_out, C]
-        args.append(c_tap)
-        specs.append(
-            pl.BlockSpec((1, ct, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-        )
-    args += [w, scale.reshape(1, Cout), bias.reshape(1, Cout)]
-    specs += [
-        pl.BlockSpec((k * C, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    out = pl.pallas_call(
-        _kernel_mid3 if k == 3 else _kernel_mid2,
-        out_shape=jax.ShapeDtypeStruct((B, Tp_out, Cout), x.dtype),
-        grid=(B, n_blocks),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((1, ct, Cout), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*args)
-    return out[:, :T_out]
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    y = y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))  # exact-GELU (A&S erf)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("stride", "k", "interpret"))

@@ -190,17 +190,6 @@ class ConvFeatureExtractor(nn.Module):
         for i, (dim, k, stride) in enumerate(self.conv_layers):
             if i == 0 and fuse0:
                 continue  # handled by the fused kernel above
-            if fuse0 and i > 0 and stride == 2 and k in (2, 3):
-                # fused conv+LN+GELU for the stride-2 mid layers too
-                from ..kernels.conv_frontend import conv_s2_ln_gelu
-
-                kernel = _ParamOnly((k, x.shape[-1], dim), name=f"conv_{i}")()
-                scale, bias = _NormParams(dim, name=f"ln_{i}")()
-                x = conv_s2_ln_gelu(
-                    x, kernel, scale, bias, k=k,
-                    interpret=jax.default_backend() == "cpu",
-                )
-                continue
             if i == 0:
                 # the C_in=1 waveform conv lowers poorly onto the MXU;
                 # _Im2ColConv computes the identical op as a patches matmul
