@@ -146,8 +146,10 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, *,
     C = o_ref.shape[1]
     Dh = C // num_heads
     kv_len = kvlen_ref[pl.program_id(0), 0]
+    # additive mask penalty computed ONCE per cell (not per head): one add
+    # in the head loop instead of iota+select
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
-    neg = jnp.float32(-1e9)
+    penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
     for h in range(num_heads):
         # matmul operands stay in the input dtype — bf16 runs the MXU at
         # full rate while f32 operands decompose (~8x slower); accumulation
@@ -157,13 +159,12 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, *,
         v = v_ref[:, h * Dh : (h + 1) * Dh]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, T]
-        scores = jnp.where(col < kv_len, scores, neg)
+        ) * scale + penalty  # [BQ, T]
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
+        recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)  # [BQ, 1] divide once
         out = jax.lax.dot_general(
-            (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[:, h * Dh : (h + 1) * Dh] = out.astype(o_ref.dtype)
