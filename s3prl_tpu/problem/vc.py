@@ -139,6 +139,10 @@ class VcVcc2020(Problem):
         load_dir = best if best.exists() else ckpt.latest_checkpoint(workspace / "train")
         if load_dir is not None:
             trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
+        # synthesize converted waveforms next to the scores (Griffin-Lim;
+        # the reference uses an externally-downloaded PWG vocoder here)
+        if config.get("synthesize", True):
+            trainer.task.wav_dir = workspace / "wav_hyp"
         logs = trainer.evaluate(loader, mode="test")
         with open(workspace / "result.yaml", "w") as f:
             yaml.safe_dump({"test": logs}, f)

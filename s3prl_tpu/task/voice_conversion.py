@@ -52,9 +52,14 @@ def mcd(hyp_mel: np.ndarray, ref_mel: np.ndarray, n_cep: int = 13) -> float:
 class VoiceConversionTask(Task):
     """module: (hs, h_lens, prev_mels, train) -> (pred_mel[B,T,M], lens)."""
 
-    def __init__(self, module, mel_dim: int = 80):
+    def __init__(self, module, mel_dim: int = 80, wav_dir=None, gl_iters: int = 32):
         self.module = module
         self.mel_dim = mel_dim
+        # when set, test-mode reduction synthesizes waveforms from the
+        # predicted mels via the native Griffin-Lim vocoder (ops/vocoder.py;
+        # the reference wires an externally-downloaded PWG instead)
+        self.wav_dir = wav_dir
+        self.gl_iters = gl_iters
         self.host_keys = ("unique_name",)
 
     valid_metric = "l1"
@@ -97,4 +102,25 @@ class VoiceConversionTask(Task):
         out = {"loss": float(np.mean(losses)), "l1": float(np.mean(losses))}
         if mcds:
             out["mcd"] = float(np.mean(mcds))
+        if mode == "test" and self.wav_dir is not None:
+            self._synthesize(records)
         return out
+
+    def _synthesize(self, records) -> None:
+        from pathlib import Path
+
+        from ..ops.vocoder import log_mel_to_wav
+        from ..util.pseudo_data import _write_wav
+
+        out_dir = Path(self.wav_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for r in records:
+            pred, lens = np.asarray(r["pred_mel"]), np.asarray(r["lens"])
+            names = r.get("unique_name", [f"utt{i}" for i in range(len(pred))])
+            wavs = np.asarray(
+                log_mel_to_wav(jnp.asarray(pred), n_mels=self.mel_dim,
+                               n_iter=self.gl_iters)
+            )
+            for b in range(len(pred)):
+                n_samp = max(int(lens[b]) - 1, 1) * 160
+                _write_wav(out_dir / f"{names[b]}.wav", wavs[b, :n_samp])

@@ -170,3 +170,24 @@ def test_voice_conversion_task():
     assert losses[-1] < losses[0]
     logs = task.reduction("valid", [{k: np.asarray(v) for k, v in cache.items()}])
     assert "mcd" in logs and np.isfinite(logs["mcd"])
+
+
+def test_griffin_lim_roundtrip():
+    """Griffin-Lim recovers a tonal signal's spectral content: re-analyzing
+    the synthesized wav matches the target log-mel closely."""
+    import jax.numpy as jnp
+
+    from s3prl_tpu.ops import audio as audio_ops
+    from s3prl_tpu.ops.vocoder import log_mel_to_wav
+
+    t = np.arange(16000) / 16000.0
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    mel, _ = audio_ops.log_mel(jnp.asarray(wav[None]), n_mels=80)
+    syn = log_mel_to_wav(mel, n_iter=16)
+    mel2, _ = audio_ops.log_mel(syn[:, :16000], n_mels=80)
+    # compare the informative (high-energy) region of the log-mels
+    m1, m2 = np.asarray(mel)[0], np.asarray(mel2)[0]
+    T = min(len(m1), len(m2)) - 4
+    mask = m1[:T] > m1.max() - 8.0
+    err = np.abs(m1[:T] - m2[:T])[mask].mean()
+    assert err < 1.0, err

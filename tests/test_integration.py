@@ -204,6 +204,9 @@ def test_vc_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert np.isfinite(logs["l1"])
+    # Griffin-Lim synthesis wrote converted waveforms
+    hyps = list((tmp_path / "wav_hyp").glob("*.wav"))
+    assert hyps, "no synthesized waveforms"
 
 
 def test_data2vec_pretrain_example(tmp_path):
