@@ -25,6 +25,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import scaled_dot_attention
 
@@ -213,6 +214,8 @@ class TransformerEncoder(nn.Module):
     use_flash: bool = False
     layer_type: str = "transformer"  # "transformer" | "conformer"
     use_pos_conv: bool = True  # skip_pos_conv variant (wav2vec2_model.py:3026-3028)
+    pos_enc_type: str = "rel_pos"  # conformer: "abs" | "rel_pos" | "rope"
+    depthwise_conv_kernel_size: int = 31
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -233,13 +236,22 @@ class TransformerEncoder(nn.Module):
         ~2.4 GB of HBM traffic per batch (stack + concat + match-length
         copies) on the SUPERB weighted-sum serving path.
         """
+        conformer = self.layer_type == "conformer"
         if key_padding_mask is not None:
             x = jnp.where(key_padding_mask[..., None], 0.0, x)
-        if self.use_pos_conv:
+        if self.use_pos_conv and not conformer:
+            # the reference ConformerEncoder never applies the conv pos
+            # embedding (its extract_features override, wav2vec2_model.py
+            # ConformerEncoder:3171-3211); positions come from rel-pos/rope
             x = x + ConvPositionalEmbedding(
                 self.embed_dim, self.conv_pos, self.conv_pos_groups,
                 self.pos_conv_depth, self.dtype, name="pos_conv",
             )(x)
+        pos_emb = None
+        if conformer and self.pos_enc_type == "rel_pos":
+            pos_emb = jnp.asarray(
+                relative_positional_table(x.shape[1], self.embed_dim)
+            )
         if not self.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(x).astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -250,9 +262,11 @@ class TransformerEncoder(nn.Module):
 
         fused = layer_weights is not None
 
+        third_arg = pos_emb if conformer else attn_bias
+
         def body(layer, carry, w):
             h, acc = carry
-            out = layer(h, key_padding_mask, attn_bias, deterministic)
+            out = layer(h, key_padding_mask, third_arg, deterministic)
             if self.layerdrop > 0.0 and not deterministic:
                 keep = jax.random.bernoulli(
                     layer.make_rng("layerdrop"), 1.0 - self.layerdrop
@@ -268,10 +282,11 @@ class TransformerEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
             length=self.num_layers,
         )
-        if self.layer_type == "conformer":
+        if conformer:
             layer = layer_cls(
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
-                dtype=self.dtype, name="layers",
+                depthwise_kernel=self.depthwise_conv_kernel_size,
+                pos_enc_type=self.pos_enc_type, dtype=self.dtype, name="layers",
             )
         else:
             layer = layer_cls(
@@ -293,17 +308,102 @@ class TransformerEncoder(nn.Module):
         return x, hidden_states
 
 
+def relative_positional_table(T: int, d_model: int) -> np.ndarray:
+    """Transformer-XL style sinusoid table [2T-1, d] (reference:
+    wav2vec2_model.py RelPositionalEncoding:1525-1589): rows ordered from
+    relative position T-1 down to -(T-1)."""
+    position = np.arange(T, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model))
+    pos = np.zeros((T, d_model))
+    neg = np.zeros((T, d_model))
+    pos[:, 0::2] = np.sin(position * div)
+    pos[:, 1::2] = np.cos(position * div)
+    neg[:, 0::2] = np.sin(-position * div)
+    neg[:, 1::2] = np.cos(-position * div)
+    return np.concatenate([pos[::-1], neg[1:]], axis=0).astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] -> [B, H, T, T] (wav2vec2_model.py rel_shift:188-206)."""
+    B, H, T, P = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    xp = xp.reshape(B, H, P + 1, T)
+    return xp[:, :, 1:].reshape(B, H, T, P)[..., : (P + 1) // 2]
+
+
+class EspnetSelfAttention(nn.Module):
+    """ESPnet-style MHA with optional Transformer-XL relative positions or
+    rotary embeddings (reference: ESPNETMultiHeadedAttention:74-163,
+    RelPositionMultiHeadedAttention:165-253,
+    RotaryPositionMultiHeadedAttention:255-311): separate q/k/v/out linears,
+    scores scaled by 1/sqrt(d_k) after the matmul; rope rotates the layer
+    INPUT viewed as heads before the projections (as the reference does)."""
+
+    embed_dim: int
+    num_heads: int
+    pos_enc_type: str = "rel_pos"  # "abs" | "rel_pos" | "rope"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, pos_emb=None, deterministic=True):
+        from ..ops.attention import attention_bthd
+
+        B, T, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        x_in = x
+        if self.pos_enc_type == "rope":
+            # rotate the raw input per head dim, then project (reference
+            # RotaryPositionMultiHeadedAttention.forward:287-301)
+            inv_freq = 1.0 / (10000 ** (np.arange(0, Dh, 2) / Dh))
+            t = np.arange(T)[:, None] * inv_freq[None, :]
+            emb = np.concatenate([t, t], axis=-1)
+            cos = jnp.asarray(np.cos(emb), x.dtype)[None, :, None, :]
+            sin = jnp.asarray(np.sin(emb), x.dtype)[None, :, None, :]
+            xh = x.reshape(B, T, H, Dh)
+            rot = jnp.concatenate([-xh[..., Dh // 2 :], xh[..., : Dh // 2]], -1)
+            x_in = (xh * cos + rot * sin).reshape(B, T, C)
+        q = nn.Dense(C, dtype=self.dtype, name="linear_q")(x_in).reshape(B, T, H, Dh)
+        k = nn.Dense(C, dtype=self.dtype, name="linear_k")(x_in).reshape(B, T, H, Dh)
+        v = nn.Dense(C, dtype=self.dtype, name="linear_v")(x).reshape(B, T, H, Dh)
+        scale = Dh ** -0.5
+
+        if self.pos_enc_type == "rel_pos":
+            assert pos_emb is not None
+            pos_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, Dh), jnp.float32)
+            pos_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, Dh), jnp.float32)
+            p = nn.Dense(C, use_bias=False, dtype=self.dtype, name="linear_pos")(
+                pos_emb.astype(self.dtype)
+            ).reshape(-1, H, Dh)  # [2T-1, H, Dh]
+            q_u = q + pos_u.astype(q.dtype)
+            q_v = q + pos_v.astype(q.dtype)
+            ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
+            bd = jnp.einsum("bthd,phd->bhtp", q_v, p, preferred_element_type=jnp.float32)
+            scores = (ac + _rel_shift(bd)) * scale
+            if key_padding_mask is not None:
+                scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v)
+        else:
+            out = attention_bthd(q * scale, k, v, key_padding_mask)
+        out = out.reshape(B, T, C)
+        return nn.Dense(C, dtype=self.dtype, name="linear_out")(out)
+
+
 class ConformerLayer(nn.Module):
-    """Macaron Conformer block (reference: wav2vec2_model.py:441-594 —
-    ConformerEncoderLayer with FeedForwardModule:396, ConvolutionModule:313):
-    x + 0.5*FFN -> MHSA (pre-LN) -> conv module (pointwise GLU -> depthwise
-    k=31 -> BN -> swish -> pointwise) -> x + 0.5*FFN -> final LN."""
+    """Macaron Conformer block, faithful to the reference's
+    ConformerWav2Vec2EncoderLayer (wav2vec2_model.py:441-594 with
+    FeedForwardModule:396-431, ConvolutionModule:313-394): half-step FFNs
+    (LN -> w_1 -> swish -> drop -> w_2 -> drop), pre-LN ESPnet attention,
+    conv module (LN -> pointwise GLU -> depthwise k=31 SAME -> BN -> swish
+    -> pointwise -> drop), final LN. Param names mirror the torch modules."""
 
     embed_dim: int
     ffn_dim: int
     num_heads: int
     dropout: float = 0.1
     depthwise_kernel: int = 31
+    pos_enc_type: str = "rel_pos"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -311,31 +411,34 @@ class ConformerLayer(nn.Module):
         self,
         x: jnp.ndarray,
         key_padding_mask: Optional[jnp.ndarray] = None,
-        attn_bias: Optional[jnp.ndarray] = None,
+        pos_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         def ffn(h, name):
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"{name}_ln")(h).astype(self.dtype)
-            h = nn.silu(nn.Dense(self.ffn_dim, dtype=self.dtype, name=f"{name}_fc1")(h))
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"{name}_layer_norm")(h).astype(self.dtype)
+            h = nn.silu(nn.Dense(self.ffn_dim, dtype=self.dtype, name=f"{name}_w1")(h))
             h = drop(h)
-            return drop(nn.Dense(self.embed_dim, dtype=self.dtype, name=f"{name}_fc2")(h))
+            return drop(nn.Dense(self.embed_dim, dtype=self.dtype, name=f"{name}_w2")(h))
 
-        x = x + 0.5 * ffn(x, "ffn1")
+        x = 0.5 * ffn(x, "ffn1") + x
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")(x).astype(self.dtype)
-        h = SelfAttention(self.embed_dim, self.num_heads, self.dropout, self.dtype,
-                          name="self_attn")(h, key_padding_mask, attn_bias, deterministic)
+        h = EspnetSelfAttention(
+            self.embed_dim, self.num_heads, self.pos_enc_type, self.dtype,
+            name="self_attn",
+        )(h, key_padding_mask, pos_emb, deterministic)
         x = x + drop(h)
 
-        # convolution module
+        # convolution module (carries its own entry LayerNorm)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="conv_ln")(x).astype(self.dtype)
         h = nn.Dense(2 * self.embed_dim, use_bias=False, dtype=self.dtype, name="conv_pw1")(h)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
-        if key_padding_mask is not None:
-            h = jnp.where(key_padding_mask[..., None], 0.0, h)
+        # NOTE: the reference does NOT re-mask padded positions before the
+        # depthwise conv (ConvolutionModule.forward); the encoder zeroes pads
+        # once at entry and lets the conv bleed — replicated for parity
         h = nn.Conv(self.embed_dim, (self.depthwise_kernel,), padding="SAME",
                     feature_group_count=self.embed_dim, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(h)
@@ -344,5 +447,5 @@ class ConformerLayer(nn.Module):
         h = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="conv_pw2")(h)
         x = x + drop(h)
 
-        x = x + 0.5 * ffn(x, "ffn2")
+        x = 0.5 * ffn(x, "ffn2") + x
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x).astype(self.dtype)

@@ -51,6 +51,8 @@ class Wav2Vec2Config:
     dropout_input: float = 0.1
     encoder_layerdrop: float = 0.0
     layer_type: str = "transformer"  # "transformer" | "conformer"
+    pos_enc_type: str = "rel_pos"  # conformer positions: "abs"|"rel_pos"|"rope"
+    depthwise_conv_kernel_size: int = 31
     # data2vec variants: projection exists even at equal dims, and the
     # feature padding mask uses strict conv arithmetic instead of hubert's
     # block-folded rule (data2vec_model.py:247, 457-470)
@@ -183,6 +185,8 @@ class Wav2Vec2Trunk(nn.Module):
             pos_conv_depth=cfg.pos_conv_depth,
             layerdrop=cfg.encoder_layerdrop,
             layer_type=cfg.layer_type,
+            pos_enc_type=cfg.pos_enc_type,
+            depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
             remat=self.remat,
             use_flash=self.use_flash,
             dtype=self.dtype,

@@ -75,6 +75,15 @@ def config_from_model_cfg(model_cfg: Dict[str, Any], task_cfg: Dict[str, Any] = 
         activation_dropout=model_cfg.get("activation_dropout", 0.0),
         dropout_input=model_cfg.get("dropout_input", 0.1),
         encoder_layerdrop=model_cfg.get("encoder_layerdrop", 0.0),
+        layer_type=model_cfg.get("layer_type", "transformer"),
+        # wav2vec2-class models use conv-arithmetic feature lengths; hubert
+        # the block-folded rule (see registry note)
+        feat_pad_rule="conv"
+        if model_cfg.get("_name", "") in ("wav2vec2", "data2vec_audio")
+        or model_cfg.get("layer_type") == "conformer"
+        else "block",
+        pos_enc_type=model_cfg.get("pos_enc_type", "rel_pos"),
+        depthwise_conv_kernel_size=model_cfg.get("depthwise_conv_kernel_size", 31),
         normalize=(task_cfg or {}).get("normalize", False),
     )
     if conv is not None:
@@ -166,6 +175,88 @@ def trunk_params_from_torch(sd: Dict[str, Any], cfg: Wav2Vec2Config) -> Dict[str
     return params
 
 
+def _conformer_layer_variables(sd: Dict[str, Any], p: str, pos_enc: str):
+    """One ConformerWav2Vec2EncoderLayer -> (params, batch_stats) for
+    models/transformer.ConformerLayer (reference names at
+    wav2vec2_model.py:441-594)."""
+    attn = {
+        "linear_q": _linear(sd, f"{p}.self_attn.linear_q"),
+        "linear_k": _linear(sd, f"{p}.self_attn.linear_k"),
+        "linear_v": _linear(sd, f"{p}.self_attn.linear_v"),
+        "linear_out": _linear(sd, f"{p}.self_attn.linear_out"),
+    }
+    if pos_enc == "rel_pos":
+        attn["linear_pos"] = _linear(sd, f"{p}.self_attn.linear_pos")
+        attn["pos_bias_u"] = _t(sd[f"{p}.self_attn.pos_bias_u"])
+        attn["pos_bias_v"] = _t(sd[f"{p}.self_attn.pos_bias_v"])
+    params = {
+        "ffn1_layer_norm": _norm(sd, f"{p}.ffn1.layer_norm"),
+        "ffn1_w1": _linear(sd, f"{p}.ffn1.w_1"),
+        "ffn1_w2": _linear(sd, f"{p}.ffn1.w_2"),
+        "self_attn_layer_norm": _norm(sd, f"{p}.self_attn_layer_norm"),
+        "self_attn": attn,
+        "conv_ln": _norm(sd, f"{p}.conv_module.layer_norm"),
+        # pointwise Conv1d k=1 [out, in, 1] -> Dense kernel [in, out]
+        "conv_pw1": {"kernel": _t(sd[f"{p}.conv_module.pointwise_conv1.weight"])[:, :, 0].T},
+        "conv_dw": {"kernel": _t(sd[f"{p}.conv_module.depthwise_conv.weight"]).transpose(2, 1, 0)},
+        "conv_bn": _norm(sd, f"{p}.conv_module.batch_norm"),
+        "conv_pw2": {"kernel": _t(sd[f"{p}.conv_module.pointwise_conv2.weight"])[:, :, 0].T},
+        "ffn2_layer_norm": _norm(sd, f"{p}.ffn2.layer_norm"),
+        "ffn2_w1": _linear(sd, f"{p}.ffn2.w_1"),
+        "ffn2_w2": _linear(sd, f"{p}.ffn2.w_2"),
+        "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
+    }
+    stats = {
+        "conv_bn": {
+            "mean": _t(sd[f"{p}.conv_module.batch_norm.running_mean"]),
+            "var": _t(sd[f"{p}.conv_module.batch_norm.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def conformer_trunk_variables_from_torch(sd: Dict[str, Any], cfg: Wav2Vec2Config):
+    """Conformer-encoder trunk -> full variables dict (params + batch_stats).
+
+    The reference ConformerEncoder inherits but never applies pos_conv
+    (extract_features override), so those weights are intentionally dropped.
+    """
+    import jax
+
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_feature_layers):
+        conv = {"kernel": _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).transpose(2, 1, 0)}
+        if cfg.conv_bias:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = _norm(sd, f"feature_extractor.conv_layers.{i}.2.1")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["gn_0"] = _norm(sd, "feature_extractor.conv_layers.0.2")
+    params["feature_extractor"] = fe
+    params["layer_norm"] = _norm(sd, "layer_norm")
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+    params["mask_emb"] = _t(sd["mask_emb"]) if "mask_emb" in sd else np.zeros(
+        (cfg.encoder_embed_dim,), np.float32
+    )
+    enc: Dict[str, Any] = {"layer_norm": _norm(sd, "encoder.layer_norm")}
+    per_layer, per_stats = [], []
+    for i in range(cfg.encoder_layers):
+        p, st = _conformer_layer_variables(sd, f"encoder.layers.{i}", cfg.pos_enc_type)
+        per_layer.append(p)
+        per_stats.append(st)
+    enc["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
+    params["encoder"] = enc
+    stats = {
+        "encoder": {
+            "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_stats)
+        }
+    }
+    return {"params": params, "batch_stats": stats}
+
+
 def load_checkpoint(path: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
     """Load an s3prl converted checkpoint (or raw state_dict) -> (cfg, params)."""
     import torch
@@ -182,6 +273,27 @@ def load_checkpoint(path: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
 
 def load_params(path: str) -> Dict[str, Any]:
     return load_checkpoint(path)[1]
+
+
+def load_trunk_variables(path: str, fallback_cfg: Wav2Vec2Config = None):
+    """Load a trunk ckpt -> (cfg-from-ckpt, full variables dict).
+
+    Unlike load_params, the architecture config comes from the checkpoint's
+    model_cfg (so named aliases like xlsr_53 build the right shape), and
+    conformer encoders return batch_stats alongside params.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_weight" in ckpt:
+        sd = ckpt["model_weight"]
+        cfg = config_from_model_cfg(ckpt.get("model_cfg", {}), ckpt.get("task_cfg", {}))
+    else:
+        sd = ckpt
+        cfg = fallback_cfg or Wav2Vec2Config()
+    if cfg.layer_type == "conformer":
+        return cfg, conformer_trunk_variables_from_torch(sd, cfg)
+    return cfg, {"params": trunk_params_from_torch(sd, cfg)}
 
 
 # ---------------------------------------------------------------------------

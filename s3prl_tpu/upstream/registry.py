@@ -114,13 +114,16 @@ def _trunk_upstream(
     remat: bool = False,
     flash: bool = False,
 ) -> Upstream:
-    model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
-
     if ckpt is not None:
-        from .convert import load_params
+        from .convert import load_trunk_variables
 
-        variables = {"params": load_params(ckpt)}
+        # the architecture follows the checkpoint's model_cfg (so aliases
+        # like xlsr_53 / conformer entries build the published shape)
+        cfg, variables = load_trunk_variables(ckpt, fallback_cfg=cfg)
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
     else:
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
+    if ckpt is None:
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
         # jit the init: eager init dispatches thousands of tiny ops, which is
@@ -157,16 +160,25 @@ def _trunk_upstream(
     return up
 
 
+# the wav2vec2 model class derives feature lengths with strict conv
+# arithmetic (wav2vec2_model.py:2610-2669), unlike hubert's block-folded
+# rule (hubert_model.py:459-469) — hence feat_pad_rule="conv" here
+from dataclasses import replace as _replace
+
+W2V2_BASE = _replace(BASE, feat_pad_rule="conv")
+W2V2_LARGE = _replace(LARGE, feat_pad_rule="conv")
+
+
 @register("wav2vec2")
 @register("wav2vec2_base_960")
 def wav2vec2_base(**kwargs) -> Upstream:
-    return _trunk_upstream("wav2vec2", BASE, **kwargs)
+    return _trunk_upstream("wav2vec2", W2V2_BASE, **kwargs)
 
 
 @register("wav2vec2_large_ll60k")
 @register("wav2vec2_large_lv60_cv_swbd_fsh")
 def wav2vec2_large(**kwargs) -> Upstream:
-    return _trunk_upstream("wav2vec2_large", LARGE, **kwargs)
+    return _trunk_upstream("wav2vec2_large", W2V2_LARGE, **kwargs)
 
 
 @register("hubert")
@@ -1232,7 +1244,13 @@ def vq_wav2vec_roberta(ckpt=None, frontend_ckpt=None, seed=0, **kwargs) -> Upstr
 
 CONFORMER_BASE = Wav2Vec2Config(
     layer_type="conformer",
+    pos_enc_type="rel_pos",
+    feat_pad_rule="conv",
     extractor_mode="layer_norm",
+    encoder_layers=24,
+    encoder_embed_dim=1024,
+    encoder_ffn_embed_dim=4096,
+    encoder_attention_heads=16,
     normalize=True,
     dropout=0.0,
     attention_dropout=0.0,
@@ -1242,11 +1260,21 @@ CONFORMER_BASE = Wav2Vec2Config(
 
 @register("wav2vec2_conformer")
 @register("wav2vec2_conformer_relpos")
-@register("wav2vec2_conformer_rope")
 def wav2vec2_conformer(**kwargs) -> Upstream:
-    """Conformer-encoder wav2vec2 variants (reference: wav2vec2_model.py
-    ConformerEncoder:3132; hubconf conformer entries)."""
+    """Conformer-encoder wav2vec2 (reference: wav2vec2_model.py
+    ConformerEncoder:3132 with ESPnet rel-pos attention:165-253; hubconf
+    LL_relpos entries are 24L/1024 Large shapes)."""
     return _trunk_upstream("wav2vec2_conformer", CONFORMER_BASE, **kwargs)
+
+
+@register("wav2vec2_conformer_rope")
+def wav2vec2_conformer_rope(**kwargs) -> Upstream:
+    from dataclasses import replace
+
+    return _trunk_upstream(
+        "wav2vec2_conformer_rope", replace(CONFORMER_BASE, pos_enc_type="rope"),
+        **kwargs,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,10 +13,14 @@ sys.path.insert(0, "/root/reference")
 try:
     import torchaudio  # noqa: F401
 except ImportError:
+    import importlib.machinery
     import types
 
     _ta = types.ModuleType("torchaudio")
     _ta.transforms = types.ModuleType("torchaudio.transforms")
+    # a real ModuleSpec so later importlib.util.find_spec probes (e.g.
+    # transformers' optional-dependency checks) don't crash on the stub
+    _ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
     sys.modules["torchaudio"] = _ta
 
 import jax

@@ -194,10 +194,11 @@ def test_hf_wav2vec2_upstream():
 
 
 def test_conformer_upstream():
+    # published conformer shapes are Large (24L/1024, LL_relpos ckpts)
     up = hub.load("wav2vec2_conformer")
     wavs, lens = pseudo_batch([0.5, 0.4])
     hs, h_lens = up(jnp.asarray(wavs), jnp.asarray(lens))
-    assert hs.shape[0] == 13 and hs.shape[-1] == 768
+    assert hs.shape[0] == 25 and hs.shape[-1] == 1024
     assert np.isfinite(np.asarray(hs)).all()
 
 

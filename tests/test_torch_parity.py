@@ -142,3 +142,82 @@ def test_hubert_trunk_parity(extractor_mode, layer_norm_first):
                 hs[l, b, :n], ref[b, :n], atol=5e-4,
                 err_msg=f"layer {l} batch {b} ({extractor_mode})",
             )
+
+
+def test_wav2vec2_model_parity():
+    """The wav2vec2 model class (vs hubert) derives feature lengths with
+    strict conv arithmetic (wav2vec2_model.py:2610-2669); verify per-layer
+    parity on mixed lengths with feat_pad_rule='conv'."""
+    from s3prl.upstream.wav2vec2.wav2vec2_model import (
+        Wav2Vec2Config as RefCfg,
+        Wav2Vec2Model as RefModel,
+    )
+
+    torch.manual_seed(3)
+    ref_cfg = RefCfg(
+        extractor_mode="default",
+        encoder_layers=2,
+        encoder_embed_dim=64,
+        encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4,
+        conv_feature_layers=TINY_CONV,
+        conv_pos=16,
+        conv_pos_groups=4,
+        layer_norm_first=False,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        dropout_input=0.0,
+        dropout_features=0.0,
+        encoder_layerdrop=0.0,
+    )
+    ref = RefModel(ref_cfg)
+    ref.eval()
+
+    rng = np.random.RandomState(3)
+    wav_a = rng.randn(16000).astype(np.float32)
+    wav_b = rng.randn(10240).astype(np.float32)
+    lens = torch.LongTensor([16000, 10240])
+    padded = torch.nn.utils.rnn.pad_sequence(
+        [torch.from_numpy(wav_a), torch.from_numpy(wav_b)], batch_first=True
+    )
+    pad_mask = ~(torch.arange(padded.size(1))[None] < lens[:, None])
+    with torch.no_grad():
+        res = ref.extract_features(padded, padding_mask=pad_mask, mask=False)
+    ref_out = res["x"].numpy()
+    ref_valid = (~res["padding_mask"]).sum(-1).numpy()
+
+    cfg = Wav2Vec2Config(
+        extractor_mode="default",
+        conv_feature_layers=TINY_CONV_TUPLE,
+        encoder_layers=2,
+        encoder_embed_dim=64,
+        encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4,
+        conv_pos=16,
+        conv_pos_groups=4,
+        layer_norm_first=False,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        dropout_input=0.0,
+        feat_pad_rule="conv",
+    )
+    params = trunk_params_from_torch(ref.state_dict(), cfg)
+    ours = Wav2Vec2Trunk(cfg)
+    wavs = np.zeros((2, 16000), np.float32)
+    wavs[0] = wav_a
+    wavs[1, :10240] = wav_b
+    hs, feat_lens = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(wavs), jnp.asarray([16000, 10240]), deterministic=True,
+    )
+    hs = np.asarray(hs)
+    feat_lens = np.asarray(feat_lens)
+    np.testing.assert_array_equal(feat_lens, ref_valid)  # the length rule
+    T = min(hs.shape[2], ref_out.shape[1])
+    for b in range(2):
+        n = min(int(feat_lens[b]), T)
+        np.testing.assert_allclose(
+            hs[-1, b, :n], ref_out[b, :n], atol=5e-4, err_msg=f"b {b}"
+        )
