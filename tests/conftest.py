@@ -20,6 +20,61 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Shared stubs for optional reference-side dependencies that are absent in
+# this environment. One complete stub here, so per-file partial stubs can't
+# shadow each other depending on collection order.
+# ---------------------------------------------------------------------------
+import contextlib  # noqa: E402
+import importlib.machinery  # noqa: E402
+import sys as _sys  # noqa: E402
+import types as _types  # noqa: E402
+
+
+def _install_stub(name, build):
+    try:
+        __import__(name)
+    except ImportError:
+        mod = build()
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        _sys.modules[name] = mod
+
+
+def _build_omegaconf():
+    m = _types.ModuleType("omegaconf")
+    m.II = lambda key: f"${{{key}}}"
+    m.MISSING = "???"
+    m.DictConfig = dict
+    m.ListConfig = list
+
+    @contextlib.contextmanager
+    def open_dict(*args, **kwargs):
+        yield None
+
+    m.open_dict = open_dict
+
+    class OmegaConf:
+        @staticmethod
+        def is_config(obj):
+            return False
+
+        @staticmethod
+        def set_struct(*a, **k):
+            pass
+
+    m.OmegaConf = OmegaConf
+    return m
+
+
+def _build_torchaudio():
+    m = _types.ModuleType("torchaudio")
+    m.transforms = _types.ModuleType("torchaudio.transforms")
+    return m
+
+
+_install_stub("omegaconf", _build_omegaconf)
+_install_stub("torchaudio", _build_torchaudio)
+
 
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False, help="run slow tests")

@@ -8,20 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
-# the reference cpc/model.py imports torchaudio at module level but only
-# uses it in MFCCEncoder (not exercised here); stub it when absent
-try:
-    import torchaudio  # noqa: F401
-except ImportError:
-    import importlib.machinery
-    import types
-
-    _ta = types.ModuleType("torchaudio")
-    _ta.transforms = types.ModuleType("torchaudio.transforms")
-    # a real ModuleSpec so later importlib.util.find_spec probes (e.g.
-    # transformers' optional-dependency checks) don't crash on the stub
-    _ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
-    sys.modules["torchaudio"] = _ta
+# torchaudio is stubbed centrally in conftest.py when absent
 
 import jax
 import jax.numpy as jnp

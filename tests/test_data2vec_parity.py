@@ -8,14 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
-# the reference file needs only omegaconf.II (config interpolation marker);
-# stub it so the module imports in this dependency-free environment
-import types
-
-if "omegaconf" not in sys.modules:
-    stub = types.ModuleType("omegaconf")
-    stub.II = lambda key: f"${{{key}}}"
-    sys.modules["omegaconf"] = stub
+# omegaconf is stubbed centrally in conftest.py when absent
 
 import jax
 import jax.numpy as jnp

@@ -8,24 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
-# the reference hubert_model.py imports omegaconf only for config
-# interpolation defaults we always override; stub it when absent
-try:
-    import omegaconf  # noqa: F401
-except ImportError:
-    import contextlib
-    import types
-
-    _oc = types.ModuleType("omegaconf")
-    _oc.II = lambda s: s
-    _oc.MISSING = "???"
-
-    @contextlib.contextmanager
-    def _open_dict(*args, **kwargs):
-        yield None
-
-    _oc.open_dict = _open_dict
-    sys.modules["omegaconf"] = _oc
+# omegaconf is stubbed centrally in conftest.py when absent
 
 import jax
 import jax.numpy as jnp

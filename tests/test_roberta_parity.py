@@ -9,35 +9,7 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
-try:
-    import omegaconf  # noqa: F401
-except ImportError:
-    import contextlib
-    import types
-
-    _oc = types.ModuleType("omegaconf")
-    _oc.II = lambda s: s
-    _oc.MISSING = "???"
-    _oc.DictConfig = dict
-    _oc.ListConfig = list
-
-    class _OmegaConf:
-        @staticmethod
-        def is_config(obj):
-            return False
-
-        @staticmethod
-        def set_struct(*a, **k):
-            pass
-
-    _oc.OmegaConf = _OmegaConf
-
-    @contextlib.contextmanager
-    def _open_dict(*args, **kwargs):
-        yield None
-
-    _oc.open_dict = _open_dict
-    sys.modules["omegaconf"] = _oc
+# omegaconf is stubbed centrally in conftest.py when absent
 
 import jax
 import jax.numpy as jnp
