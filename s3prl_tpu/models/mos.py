@@ -17,11 +17,14 @@ Checkpoints store {"Upstream", "Featurizer", "Downstream", "Config"}
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .apc import APCConfig, APCModel
+from .mockingjay import MockingjayConfig, MockingjayEncoder
 from .wav2vec2 import BASE, Wav2Vec2Config, Wav2Vec2Trunk
 from ..ops.masking import length_mask
 
@@ -31,10 +34,18 @@ STEP = 8000
 
 @dataclass(frozen=True)
 class MosConfig:
+    upstream: str = "wav2vec2"  # "wav2vec2" | "apc" | "tera" (hubconf mos_*)
     trunk: Wav2Vec2Config = BASE
+    apc: Optional[APCConfig] = None
+    tera: Optional[MockingjayConfig] = None
+    feat_kind: str = "mel"  # apc/tera front-end: "mel" or "fbank_delta"
     projector_dim: int = 256
     clipping: bool = False
     attention_pooling: bool = False
+
+    @property
+    def downsample_rate(self) -> int:
+        return self.trunk.downsample_rate if self.upstream == "wav2vec2" else 160
 
 
 class MosModel(nn.Module):
@@ -60,9 +71,21 @@ class MosModel(nn.Module):
         segs = segs.reshape(B * n_seg, SEG)
         seg_lens = jnp.full((B * n_seg,), SEG, jnp.int32)
 
-        hs, feat_lens = Wav2Vec2Trunk(cfg.trunk, dtype=self.dtype, name="trunk")(
-            segs, seg_lens, deterministic=deterministic
-        )  # [L+1, B*S, T', C]
+        if cfg.upstream == "apc":  # mos_apc: APC GRU over log-mel
+            feats, flens = self._features(segs, seg_lens)
+            hs, _, _ = APCModel(cfg.apc or APCConfig(), name="apc")(
+                feats, flens, train=not deterministic
+            )
+        elif cfg.upstream == "tera":  # mos_tera: TERA transformer over mel
+            feats, flens = self._features(segs, seg_lens)
+            hs, _ = MockingjayEncoder(
+                cfg.tera or MockingjayConfig(input_dim=80), dtype=self.dtype,
+                name="tera",
+            )(feats, flens, deterministic=deterministic)
+        else:
+            hs, _ = Wav2Vec2Trunk(cfg.trunk, dtype=self.dtype, name="trunk")(
+                segs, seg_lens, deterministic=deterministic
+            )  # [L+1, B*S, T', C]
         w = self.param("featurizer_weights", nn.initializers.zeros, (hs.shape[0],))
         feat = jnp.einsum("l,lbtc->btc", jax.nn.softmax(w), hs.astype(jnp.float32))
 
@@ -84,8 +107,21 @@ class MosModel(nn.Module):
         seg_mask = (jnp.arange(n_seg)[None] < n_valid[:, None]).astype(seg_score.dtype)
         score = (seg_score * seg_mask).sum(-1) / seg_mask.sum(-1)
 
-        # expose through the standard contract at the trunk's frame rate
-        t_out = max(T // self.cfg.trunk.downsample_rate, 1)
-        out_lens = jnp.maximum(wav_lens // self.cfg.trunk.downsample_rate, 1)
+        # expose through the standard contract at the upstream's frame rate
+        t_out = max(T // cfg.downsample_rate, 1)
+        out_lens = jnp.maximum(wav_lens // cfg.downsample_rate, 1)
         out = jnp.broadcast_to(score[None, :, None, None], (1, B, t_out, 1))
         return out, out_lens
+
+    def _features(self, wavs, wav_lens):
+        """apc/tera acoustic front end (same policy as the hub entries)."""
+        from .baseline import baseline_features
+        from ..ops import audio as audio_ops
+
+        if self.cfg.feat_kind == "fbank_delta":
+            return baseline_features(
+                wavs, wav_lens, feat_type="fbank", num_mel_bins=80,
+                delta_order=2, cmvn=True,
+            )
+        feats, feat_lens = audio_ops.log_mel(wavs, wav_lens, n_mels=80)
+        return audio_ops.cmvn(feats, feat_lens), feat_lens

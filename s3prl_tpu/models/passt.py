@@ -58,7 +58,10 @@ class PasstConfig:
     input_tdim: int = 998  # positional-embedding time grid source
     timestamp_window_ms: float = 160.0
     timestamp_hop_ms: float = 50.0
-    two_level: bool = False  # concat embeddings of (w, 5w) windows
+    two_level: bool = False  # concat embeddings of (w, mult*w) windows
+    two_level_mult: int = 5  # 5 everywhere except base2levelmel's 4
+    include_mel: bool = False  # append raw-mel timestamp embeds (128*6)
+    mel_ts_window: int = 0  # samples @32 kHz for the mel timestamp window
 
     # pos-embed grids use the reference's floor division (PatchEmbed
     # grid_size = img_size // stride, passt.py:416), not conv arithmetic
@@ -73,7 +76,10 @@ class PasstConfig:
     @property
     def embedding_size(self) -> int:
         base = self.n_classes + self.embed_dim
-        return base * 2 if self.two_level else base
+        size = base * 2 if self.two_level else base
+        if self.include_mel:
+            size += self.n_mels * 6
+        return size
 
 
 PASST_BASE = PasstConfig()
@@ -82,6 +88,21 @@ PASST_HOP160 = PasstConfig(mel_hop=160, input_tdim=2000)
 PASST_20SEC = PasstConfig(input_tdim=2000)
 PASST_30SEC = PasstConfig(input_tdim=3000)
 PASST_2LVL = PasstConfig(two_level=True)
+# the "mel" variants append get_timestamp_mels embeddings; mel window sized
+# for exactly 6 STFT frames at the variant's hop (hear21passt
+# base2levelmel.py:67 window=1920, hop100base2lvlmel.py window=6*100,
+# hop160base2lvlmel.py window=6*160). base2levelmel's second level uses a
+# 4x window (base2levelmel.py:70), the hop variants keep 5x.
+PASST_2LVL_MEL = PasstConfig(two_level=True, two_level_mult=4,
+                             include_mel=True, mel_ts_window=1920)
+PASST_HOP100_2LVL = PasstConfig(mel_hop=100, input_tdim=3200, two_level=True)
+PASST_HOP100_2LVL_MEL = PasstConfig(mel_hop=100, input_tdim=3200,
+                                    two_level=True, include_mel=True,
+                                    mel_ts_window=600)
+PASST_HOP160_2LVL = PasstConfig(mel_hop=160, input_tdim=2000, two_level=True)
+PASST_HOP160_2LVL_MEL = PasstConfig(mel_hop=160, input_tdim=2000,
+                                    two_level=True, include_mel=True,
+                                    mel_ts_window=960)
 
 
 def resample_kernel(orig: int, new: int, lowpass_filter_width: int = 6,
@@ -226,10 +247,28 @@ class PasstModel(nn.Module):
         hop = int(cfg.timestamp_hop_ms * SR_MODEL / 1000)
         net = PasstNet(cfg, self.dtype, name="net")
         emb, n_ts = self._window_embeds(net, wav32, window, hop, deterministic)
-        if cfg.two_level:  # base2level: concat a 5x-window pass (base2level.py:58-72)
-            emb5, n5 = self._window_embeds(net, wav32, window * 5, hop, deterministic)
+        if cfg.two_level:  # concat a mult*window pass (base2level.py:58-72)
+            emb5, n5 = self._window_embeds(
+                net, wav32, window * cfg.two_level_mult, hop, deterministic
+            )
             n = min(n_ts, n5)
             emb = jnp.concatenate([emb[:, :n], emb5[:, :n]], axis=-1)
+            n_ts = n
+        if cfg.include_mel:  # get_timestamp_mels (wrapper.py:121-160)
+            melw = cfg.mel_ts_window
+            B, T32 = wav32.shape
+            pad = melw // 2
+            xp = jnp.pad(wav32, ((0, 0), (pad, pad)), mode="reflect")
+            n_mel_ts = (T32 + 2 * pad - melw) // hop + 1
+            starts = jnp.arange(n_mel_ts) * hop
+            segs = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(xp, s, melw, axis=1),
+                out_axes=1,
+            )(starts).reshape(B * n_mel_ts, melw)
+            mel = passt_mel(segs, cfg)  # [B*n, 128, 6]
+            mel = mel.reshape(B, n_mel_ts, -1).astype(emb.dtype)
+            n = min(n_ts, n_mel_ts)
+            emb = jnp.concatenate([emb[:, :n], mel[:, :n]], axis=-1)
             n_ts = n
         out_lens = jnp.minimum(wav_lens * 2 // hop + 1, n_ts)
         return emb[None], out_lens

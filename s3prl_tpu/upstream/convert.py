@@ -1119,10 +1119,17 @@ def load_decoar2_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def load_mos_checkpoint(path: str):
-    """Load a mos_wav2vec2 ckpt -> (MosConfig, params). The Upstream entry is
-    the finetuned wav2vec2 expert state_dict ("model."-prefixed)."""
+    """Load a mos_{wav2vec2,apc,tera} ckpt -> (MosConfig, params).
+
+    The Upstream entry is the finetuned upstream expert's state_dict:
+    "model."-prefixed wav2vec2 (mos_prediction/expert.py:82-95), a
+    "model."-prefixed APC (apc/expert.py:26), or a "transformer."-prefixed
+    TransformerModel (tera/mockingjay expert). The variant is detected from
+    the state-dict key shapes."""
     import torch
 
+    from ..models.apc import APCConfig
+    from ..models.mockingjay import MockingjayConfig
     from ..models.mos import MosConfig
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -1130,23 +1137,62 @@ def load_mos_checkpoint(path: str):
         (k[len("model."):] if k.startswith("model.") else k): v
         for k, v in ckpt["Upstream"].items()
     }
-    trunk_cfg = config_from_model_cfg({})  # released MOS rides wav2vec2-Base
     modelrc = (
         ckpt.get("Config", {}).get("downstream_expert", {}).get("modelrc", {})
     )
     down_sd = ckpt["Downstream"]
-    cfg = MosConfig(
-        trunk=trunk_cfg,
+
+    common = dict(
         projector_dim=int(modelrc.get("projector_dim", down_sd["connector.weight"].shape[0])),
         clipping=bool(modelrc.get("clipping", False)),
         attention_pooling=bool(modelrc.get("attention_pooling", False)),
     )
     params: Dict[str, Any] = {
-        "trunk": trunk_params_from_torch(up_sd, trunk_cfg),
         "featurizer_weights": _t(ckpt["Featurizer"]["weights"]),
         "connector": _linear(down_sd, "connector"),
         "mean_net_linear": _linear(down_sd, "model.mean_net_linear"),
     }
+
+    if any("rnn_layers" in k for k in up_sd):  # mos_apc
+        n = 0
+        while f"rnn_layers.{n}.weight_ih_l0" in up_sd:
+            n += 1
+        hidden = up_sd["rnn_layers.0.weight_hh_l0"].shape[1]
+        in_dim = up_sd["postnet.weight"].shape[0]
+        cfg = MosConfig(
+            upstream="apc",
+            apc=APCConfig(input_size=in_dim, hidden_size=hidden, num_layers=max(n, 1)),
+            feat_kind="mel", **common,
+        )
+        params["apc"] = apc_params_from_torch(up_sd, max(n, 1))
+    elif any("spec_transform" in k for k in up_sd):  # mos_tera
+        sd = up_sd
+        if any(k.startswith("transformer.") for k in sd):
+            sd = {k[len("transformer."):]: v for k, v in sd.items()
+                  if k.startswith("transformer.")}
+        n = 0
+        while any(k.startswith(f"encoder.layer.{n}.") for k in sd):
+            n += 1
+        w = sd["input_representations.spec_transform.weight"]
+        hidden, in_dim = int(w.shape[0]), int(w.shape[1])
+        inter = int(sd["encoder.layer.0.intermediate.dense.weight"].shape[0])
+        # heads are not recoverable from weight shapes; published mos_tera is
+        # TERA-Base (768/12)
+        heads = 12 if hidden % 12 == 0 else 4
+        cfg = MosConfig(
+            upstream="tera",
+            tera=MockingjayConfig(input_dim=in_dim, hidden_size=hidden,
+                                  num_hidden_layers=max(n, 1),
+                                  num_attention_heads=heads,
+                                  intermediate_size=inter),
+            feat_kind="fbank_delta" if in_dim == 240 else "mel", **common,
+        )
+        params["tera"] = mockingjay_params_from_torch(sd, max(n, 1))
+    else:  # mos_wav2vec2 — released MOS rides wav2vec2-Base
+        trunk_cfg = config_from_model_cfg({})
+        cfg = MosConfig(trunk=trunk_cfg, **common)
+        params["trunk"] = trunk_params_from_torch(up_sd, trunk_cfg)
+
     if cfg.attention_pooling:
         params["mean_net_pooling"] = _linear(down_sd, "model.mean_net_pooling.W")
     return cfg, params

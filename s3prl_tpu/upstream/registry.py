@@ -960,15 +960,14 @@ def vq_wav2vec_kmeans(**kwargs) -> Upstream:
     )
 
 
-@register("mos_wav2vec2")
-@register("mos_prediction")
-def mos_prediction(ckpt=None, seed=0, dtype=jnp.float32, **kwargs) -> Upstream:
+def _mos_upstream(name, default_cfg, ckpt=None, seed=0, dtype=jnp.float32,
+                  **kwargs) -> Upstream:
     """MOS predictor (reference: s3prl/upstream/mos_prediction): finetuned
-    wav2vec2 trunk + learned layer-weighted sum + connector + mean-net head
-    over 1 s segments, scores averaged per utterance (see models/mos.py).
+    upstream + learned layer-weighted sum + connector + mean-net head over
+    1 s segments, scores averaged per utterance (see models/mos.py).
     API outlier (scalar output; the reference's own tests skip it,
     test_upstream.py:158)."""
-    from ..models.mos import MosConfig, MosModel
+    from ..models.mos import MosModel
 
     if ckpt is not None:
         from .convert import load_mos_checkpoint
@@ -976,9 +975,9 @@ def mos_prediction(ckpt=None, seed=0, dtype=jnp.float32, **kwargs) -> Upstream:
         cfg, params = load_mos_checkpoint(ckpt)
         model = MosModel(cfg, dtype=dtype)
     else:
-        cfg = MosConfig()
+        cfg = default_cfg
         model = MosModel(cfg, dtype=dtype)
-        logger.info("mos_prediction: no ckpt given — random initialization")
+        logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
         params = jax.jit(
             lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
@@ -988,8 +987,40 @@ def mos_prediction(ckpt=None, seed=0, dtype=jnp.float32, **kwargs) -> Upstream:
         return model.apply({"params": params}, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
     return Upstream(
-        name="mos_prediction", apply_fn=apply_fn, params=params,
-        num_layers=1, hidden_size=1, downsample_rate=cfg.trunk.downsample_rate,
+        name=name, apply_fn=apply_fn, params=params,
+        num_layers=1, hidden_size=1, downsample_rate=cfg.downsample_rate,
+    )
+
+
+@register("mos_wav2vec2")
+@register("mos_prediction")
+def mos_prediction(**kwargs) -> Upstream:
+    from ..models.mos import MosConfig
+
+    return _mos_upstream("mos_prediction", MosConfig(), **kwargs)
+
+
+@register("mos_apc")
+def mos_apc(**kwargs) -> Upstream:
+    """MOS over an APC upstream (reference: mos_prediction/hubconf.py mos_apc)."""
+    from ..models.apc import APCConfig
+    from ..models.mos import MosConfig
+
+    return _mos_upstream(
+        "mos_apc", MosConfig(upstream="apc", apc=APCConfig()), **kwargs
+    )
+
+
+@register("mos_tera")
+def mos_tera(**kwargs) -> Upstream:
+    """MOS over a TERA upstream (reference: mos_prediction/hubconf.py mos_tera)."""
+    from ..models.mockingjay import MockingjayConfig
+    from ..models.mos import MosConfig
+
+    return _mos_upstream(
+        "mos_tera",
+        MosConfig(upstream="tera", tera=MockingjayConfig(input_dim=80)),
+        **kwargs,
     )
 
 
@@ -1135,6 +1166,43 @@ def passt_hop160base(**kwargs) -> Upstream:
     from ..models.passt import PASST_HOP160
 
     return _passt_upstream("passt_hop160base", PASST_HOP160, **kwargs)
+
+
+@register("passt_base2levelmel")
+def passt_base2levelmel(**kwargs) -> Upstream:
+    """2-level + raw-mel timestamp embeds (hear21passt base2levelmel.py:58-72:
+    second level at 4x window, mel window 1920 samples)."""
+    from ..models.passt import PASST_2LVL_MEL
+
+    return _passt_upstream("passt_base2levelmel", PASST_2LVL_MEL, **kwargs)
+
+
+@register("passt_hop100base2lvl")
+def passt_hop100base2lvl(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP100_2LVL
+
+    return _passt_upstream("passt_hop100base2lvl", PASST_HOP100_2LVL, **kwargs)
+
+
+@register("passt_hop100base2lvlmel")
+def passt_hop100base2lvlmel(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP100_2LVL_MEL
+
+    return _passt_upstream("passt_hop100base2lvlmel", PASST_HOP100_2LVL_MEL, **kwargs)
+
+
+@register("passt_hop160base2lvl")
+def passt_hop160base2lvl(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP160_2LVL
+
+    return _passt_upstream("passt_hop160base2lvl", PASST_HOP160_2LVL, **kwargs)
+
+
+@register("passt_hop160base2lvlmel")
+def passt_hop160base2lvlmel(**kwargs) -> Upstream:
+    from ..models.passt import PASST_HOP160_2LVL_MEL
+
+    return _passt_upstream("passt_hop160base2lvlmel", PASST_HOP160_2LVL_MEL, **kwargs)
 
 
 @register("vq_wav2vec_kmeans_roberta")

@@ -101,6 +101,41 @@ CKPT_URLS = {
     # stubs are replaced)
     "byol_s": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/default2048_BYOLAs64x96-2105311814-e100-bs256-lr0003-rs42.pth",
     "lighthubert": "https://huggingface.co/mechanicalsea/lighthubert/resolve/main/lighthubert_base.pt",
+    # mel-SSL named variants (mockingjay/tera/audio_albert hubconf.py — one
+    # URL per published pretraining configuration)
+    "mockingjay_logMelBase_T_AdamW_b32_1m_960hr": "https://www.dropbox.com/s/jzx0xggk663jev6/states-1000000.ckpt?dl=1",
+    "mockingjay_logMelBase_T_AdamW_b32_1m_960hr_drop1": "https://www.dropbox.com/s/7f9z6dzc7oix6qv/states-1000000.ckpt?dl=1",
+    "mockingjay_logMelBase_T_AdamW_b32_1m_960hr_seq3k": "https://www.dropbox.com/s/qnnvdrai2tfmjmh/states-1000000.ckpt?dl=1",
+    "mockingjay_logMelBase_T_AdamW_b32_200k_100hr": "https://www.dropbox.com/s/luorglf8mdg67l2/states-200000.ckpt?dl=1",
+    "mockingjay_logMelLinearLarge_T_AdamW_b32_500k_360hr_drop1": "https://huggingface.co/s3prl/mockingjay/resolve/main/mockingjay_logMelLinearLarge_T_AdamW_b32_500k_360hr_drop1/states-500000.ckpt",
+    "mockingjay_origin": "https://huggingface.co/s3prl/mockingjay/resolve/main/mockingjay_logMelLinearLarge_T_AdamW_b32_500k_360hr_drop1/states-500000.ckpt",
+    "mockingjay_100hr": "https://www.dropbox.com/s/luorglf8mdg67l2/states-200000.ckpt?dl=1",
+    "mockingjay_960hr": "https://www.dropbox.com/s/7f9z6dzc7oix6qv/states-1000000.ckpt?dl=1",
+    "tera_logMelBase_T_F_AdamW_b32_1m_960hr": "https://www.dropbox.com/s/98olxex0m7oy9ta/states-1000000.ckpt?dl=1",
+    "tera_logMelBase_T_F_AdamW_b32_1m_960hr_drop1": "https://www.dropbox.com/s/2ekbt2gxlkbvfz0/states-1000000.ckpt?dl=1",
+    "tera_logMelBase_T_F_AdamW_b32_1m_960hr_seq3k": "https://www.dropbox.com/s/tfysinbalpm3gsj/states-1000000.ckpt?dl=1",
+    "tera_logMelBase_T_F_AdamW_b32_200k_100hr": "https://www.dropbox.com/s/o36qt1zgtn3tsep/states-200000.ckpt?dl=1",
+    "tera_logMelBase_T_F_M_AdamW_b32_1m_960hr_drop1": "https://huggingface.co/s3prl/tera/resolve/main/tera_logMelBase_T_F_M_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    "tera_logMelBase_T_F_M_AdamW_b32_200k_100hr": "https://www.dropbox.com/s/l9ryl82k64m1lsk/states-200000.ckpt?dl=1",
+    "tera_fbankBase_T_F_AdamW_b32_200k_100hr": "https://www.dropbox.com/s/i32ob29m6afufot/states-200000.ckpt?dl=1",
+    "tera_100hr": "https://www.dropbox.com/s/l9ryl82k64m1lsk/states-200000.ckpt?dl=1",
+    "tera_960hr": "https://huggingface.co/s3prl/tera/resolve/main/tera_logMelBase_T_F_M_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    "audio_albert_logMelBase_T_share_AdamW_b32_1m_960hr_drop1": "https://huggingface.co/s3prl/audio_albert/resolve/main/audio_albert_logMelBase_T_share_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    "audio_albert_960hr": "https://huggingface.co/s3prl/audio_albert/resolve/main/audio_albert_logMelBase_T_share_AdamW_b32_1m_960hr_drop1/states-1000000.ckpt",
+    # DistilHuBERT paper default (distiller/hubconf.py)
+    "distilhubert_base": "https://huggingface.co/leo19941227/distilhubert/resolve/main/distilhubert_ls960_4-8-12.ckpt",
+    # MOS predictors over apc/tera upstreams (mos_prediction/hubconf.py)
+    "mos_apc": "https://www.dropbox.com/s/ulng31as15hsvz1/apc-dev-SRCC-best.ckpt?dl=1",
+    "mos_tera": "https://www.dropbox.com/s/w4jk5bujaoosk69/tera-dev-SRCC-best.ckpt?dl=1",
+    # speech-to-speech-translation finetuned wav2vec2 (wav2vec2/hubconf.py)
+    "wav2vec2_base_s2st_en_librilight": f"{_CONVERTED}/wav2vec2_base_s2st_en_librilight.pt",
+    "wav2vec2_base_s2st_es_voxpopuli": f"{_CONVERTED}/wav2vec2_base_s2st_es_voxpopuli.pt",
+    "wav2vec2_conformer_large_s2st_en_librilight": f"{_CONVERTED}/wav2vec2_conformer_large_s2st_en_librilight.pt",
+    "wav2vec2_conformer_large_s2st_es_voxpopuli": f"{_CONVERTED}/wav2vec2_conformer_large_s2st_es_voxpopuli.pt",
+    # BYOL-S encoder variants (byol_s/hubconf.py)
+    "byol_s_default": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/default2048_BYOLAs64x96-2105311814-e100-bs256-lr0003-rs42.pth",
+    "byol_s_cvt": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/cvt_s1-d1-e64_s2-d1-e256_s3-d1-e512_BYOLAs64x96-osandbyolaloss6373-e100-bs256-lr0003-rs42.pth",
+    "byol_s_resnetish34": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/resnetish34_BYOLAs64x96-2105271915-e100-bs256-lr0003-rs42.pth",
 }
 
 

@@ -107,6 +107,78 @@ def test_mos_parity(tmp_path, clipping, pooling):
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+def _downstream_pieces(upstream_dim, seed):
+    from s3prl.upstream.mos_prediction.model import MosDownstream
+
+    torch.manual_seed(seed)
+    down = MosDownstream(upstream_dim=upstream_dim, projector_dim=32,
+                         clipping=False, attention_pooling=False)
+    down.eval()
+    return down
+
+
+def test_mos_apc_roundtrip(tmp_path):
+    """mos_apc ckpt ({"Upstream": APC expert sd, ...}) loads and scores."""
+    from s3prl.upstream.apc.apc import APC
+
+    apc = APC(80, num_layers=2, hidden_size=48, dropout=0.0, residual=True)
+    down = _downstream_pieces(48, seed=2)
+    path = tmp_path / "mos_apc.ckpt"
+    torch.save(
+        {
+            "Upstream": {f"model.{k}": v for k, v in apc.state_dict().items()},
+            "Featurizer": {"weights": torch.randn(2)},
+            "Downstream": down.state_dict(),
+            "Config": {},
+        },
+        path,
+    )
+    from s3prl_tpu import hub
+
+    up = hub.load("mos_apc", ckpt=str(path))
+    wav = np.random.RandomState(2).randn(1, 18000).astype(np.float32)
+    hs, lens = up.apply_standardized(up.params, jnp.asarray(wav), jnp.asarray([18000]))
+    assert hs.shape[-1] == 1 and np.isfinite(np.asarray(hs)).all()
+    assert np.allclose(np.asarray(hs)[0, 0, :, 0], np.asarray(hs)[0, 0, 0, 0])
+
+
+def test_mos_tera_roundtrip(tmp_path):
+    """mos_tera ckpt (transformer.-prefixed TransformerModel sd) loads."""
+    from s3prl.upstream.mockingjay.model import TransformerConfig, TransformerModel
+
+    conf = {
+        "hidden_size": 96, "num_hidden_layers": 2, "num_attention_heads": 12,
+        "intermediate_size": 128, "hidden_act": "gelu",
+        "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+        "initializer_range": 0.02, "layer_norm_eps": 1e-12,
+        "share_layer": False, "pre_layer_norm": False,
+    }
+    tera = TransformerModel(TransformerConfig(conf), input_dim=80)
+    tera.eval()
+    down = _downstream_pieces(96, seed=3)
+    path = tmp_path / "mos_tera.ckpt"
+    torch.save(
+        {
+            "Upstream": {f"transformer.{k}": v for k, v in tera.state_dict().items()},
+            "Featurizer": {"weights": torch.randn(3)},
+            "Downstream": down.state_dict(),
+            "Config": {},
+        },
+        path,
+    )
+    from s3prl_tpu import hub
+    from s3prl_tpu.upstream.convert import load_mos_checkpoint
+
+    cfg, _ = load_mos_checkpoint(str(path))
+    assert cfg.upstream == "tera" and cfg.tera.num_hidden_layers == 2
+    assert cfg.feat_kind == "mel"
+
+    up = hub.load("mos_tera", ckpt=str(path))
+    wav = np.random.RandomState(3).randn(1, 16000).astype(np.float32)
+    hs, lens = up.apply_standardized(up.params, jnp.asarray(wav), jnp.asarray([16000]))
+    assert hs.shape[-1] == 1 and np.isfinite(np.asarray(hs)).all()
+
+
 def test_mos_hub_roundtrip(tmp_path):
     _, _, _, path = _make_ckpt(tmp_path, seed=1)
     from s3prl_tpu import hub

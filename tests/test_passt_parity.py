@@ -62,6 +62,28 @@ def test_resample_properties():
     np.testing.assert_allclose(dc[100:-100], 1.0, atol=1e-3)
 
 
+def test_passt_2lvlmel_embedding_shapes():
+    """The 2-level+mel variants' embedding layout (hear21passt
+    base2levelmel.py:58-72: concat(ts, ts@4x-window, mel@1920) -> 768 extra
+    mel dims; hop variants use 5x and 6*hop mel windows)."""
+    import jax
+
+    from s3prl_tpu.models.passt import PASST_2LVL_MEL, PasstModel
+    from dataclasses import replace
+
+    cfg = replace(PASST_2LVL_MEL, depth=1, embed_dim=64, num_heads=2,
+                  n_classes=11)
+    assert cfg.embedding_size == (11 + 64) * 2 + 128 * 6
+    model = PasstModel(cfg)
+    wav = np.random.RandomState(0).randn(1, 8000).astype(np.float32) * 0.1
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(wav), jnp.asarray([8000])
+    )["params"]
+    hs, lens = model.apply({"params": params}, jnp.asarray(wav), jnp.asarray([8000]))
+    assert hs.shape[-1] == cfg.embedding_size
+    assert np.isfinite(np.asarray(hs)).all()
+
+
 def test_passt_upstream_forward():
     from s3prl_tpu import hub
 
