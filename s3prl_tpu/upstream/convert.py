@@ -1604,3 +1604,159 @@ def load_ast_checkpoint(path: str, depth: int = 12) -> Dict[str, Any]:
     if any(k.startswith("module.") for k in sd):
         sd = {k[len("module."):]: v for k, v in sd.items()}
     return ast_params_from_torch(sd, depth=depth)
+
+
+# ---------------------------------------------------------------------------
+# ESPnet torchaudio-HuBERT (reference: s3prl/upstream/espnet_hubert/expert.py
+# — forwards `model.wav2vec2.extract_features(wavs, lens)[0]`, i.e. a
+# torchaudio Wav2Vec2Model whose weights live inside an espnet2 checkpoint
+# under `encoder.hubert_pretrain_model.`; hidden states are the L transformer
+# LAYER OUTPUTS, with no input-embedding entry)
+# ---------------------------------------------------------------------------
+
+_TORCHAUDIO_LAYER_KEYS = {
+    "attention.k_proj": "self_attn.k_proj",
+    "attention.v_proj": "self_attn.v_proj",
+    "attention.q_proj": "self_attn.q_proj",
+    "attention.out_proj": "self_attn.out_proj",
+    "layer_norm": "self_attn_layer_norm",
+    "feed_forward.intermediate_dense": "fc1",
+    "feed_forward.output_dense": "fc2",
+    "final_layer_norm": "final_layer_norm",
+}
+
+
+def torchaudio_to_fairseq_keys(sd: Dict[str, Any], extractor_mode: str) -> Dict[str, Any]:
+    """Rename torchaudio Wav2Vec2Model keys to the fairseq names that
+    `trunk_params_from_torch` consumes."""
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        nk = None
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, rest = parts[2], ".".join(parts[3:])
+            if rest.startswith("conv."):
+                nk = f"feature_extractor.conv_layers.{i}.0.{rest[len('conv.'):]}"
+            elif rest.startswith("layer_norm."):
+                suffix = rest[len("layer_norm."):]
+                if extractor_mode == "layer_norm":
+                    nk = f"feature_extractor.conv_layers.{i}.2.1.{suffix}"
+                else:  # group_norm on layer 0 only
+                    nk = f"feature_extractor.conv_layers.{i}.2.{suffix}"
+        elif k.startswith("encoder.feature_projection.layer_norm."):
+            nk = "layer_norm." + k.rsplit(".", 1)[1]
+        elif k.startswith("encoder.feature_projection.projection."):
+            nk = "post_extract_proj." + k.rsplit(".", 1)[1]
+        elif k.startswith("encoder.transformer.pos_conv_embed.conv."):
+            rest = k[len("encoder.transformer.pos_conv_embed.conv."):]
+            rest = {
+                "parametrizations.weight.original0": "weight_g",
+                "parametrizations.weight.original1": "weight_v",
+            }.get(rest, rest)
+            nk = f"encoder.pos_conv.0.{rest}"
+        elif k.startswith("encoder.transformer.layer_norm."):
+            nk = "encoder.layer_norm." + k.rsplit(".", 1)[1]
+        elif k.startswith("encoder.transformer.layers."):
+            parts = k.split(".")
+            i = parts[3]
+            rest = ".".join(parts[4:-1])
+            leaf = parts[-1]
+            if rest in _TORCHAUDIO_LAYER_KEYS:
+                nk = f"encoder.layers.{i}.{_TORCHAUDIO_LAYER_KEYS[rest]}.{leaf}"
+        elif k == "mask_generator.mask_embedding":
+            nk = "mask_emb"
+        if nk is not None:
+            out[nk] = v
+    return out
+
+
+def espnet_hubert_config_from_sd(sd: Dict[str, Any], conf: Dict[str, Any] = None):
+    """Infer a Wav2Vec2Config from a (fairseq-renamed) state dict, with
+    optional espnet `encoder_conf` overrides (config.yaml)."""
+    conf = conf or {}
+    # post_extract_proj is absent when conv dim == embed dim (fairseq builds
+    # it conditionally); the encoder layer norm always carries C
+    C = int(sd["encoder.layer_norm.weight"].shape[0])
+    n = 0
+    while f"encoder.layers.{n}.fc1.weight" in sd:
+        n += 1
+    ffn = int(sd["encoder.layers.0.fc1.weight"].shape[0])
+    per_layer_ln = "feature_extractor.conv_layers.1.2.1.weight" in sd
+    mode = "layer_norm" if per_layer_ln else "default"
+    heads = int(conf.get("encoder_num_heads", 12 if C <= 768 else 16))
+    lnf = bool(conf.get("encoder_layer_norm_first", C >= 1024))
+    conv_bias = "feature_extractor.conv_layers.0.0.bias" in sd
+    # conv stack from the weights; stride is 5 on the first layer, 2 after
+    # (true of every torchaudio/fairseq hubert extractor), unless the espnet
+    # config carries the explicit [[dim, k, stride], ...] table
+    if "extractor_conv_layer_config" in conf:
+        conv_layers = tuple(tuple(t) for t in conf["extractor_conv_layer_config"])
+    else:
+        conv_layers = []
+        i = 0
+        while f"feature_extractor.conv_layers.{i}.0.weight" in sd:
+            w = sd[f"feature_extractor.conv_layers.{i}.0.weight"]
+            conv_layers.append((int(w.shape[0]), int(w.shape[2]), 5 if i == 0 else 2))
+            i += 1
+        conv_layers = tuple(conv_layers)
+    # pos-conv geometry from the folded kernel [k, C/groups, C]; groups from
+    # the in-channel width
+    pos_w = sd.get("encoder.pos_conv.0.weight_v", sd.get("encoder.pos_conv.0.weight"))
+    if pos_w is not None:
+        conv_pos = int(pos_w.shape[2])
+        conv_pos_groups = C // int(pos_w.shape[1])
+    else:
+        conv_pos, conv_pos_groups = 128, 16
+    return Wav2Vec2Config(
+        encoder_embed_dim=C,
+        encoder_layers=max(n, 1),
+        encoder_ffn_embed_dim=ffn,
+        encoder_attention_heads=heads,
+        layer_norm_first=lnf,
+        extractor_mode=mode,
+        conv_bias=conv_bias,
+        conv_feature_layers=conv_layers,
+        conv_pos=conv_pos,
+        conv_pos_groups=conv_pos_groups,
+        # the reference espnet expert calls wav2vec2.extract_features on the
+        # raw wav — no input layer-norm even for large (expert.py:40-42)
+        normalize=bool(conf.get("normalize", False)),
+    )
+
+
+def load_espnet_hubert_checkpoint(path: str, config: str = None):
+    """Load an espnet2 torchaudio-HuBERT ckpt -> (Wav2Vec2Config, params).
+
+    Accepts the raw espnet `.pth` (a state dict with
+    `encoder.hubert_pretrain_model.` prefixes), a bare HuBERTPretrainModel
+    state dict, or a bare torchaudio Wav2Vec2Model state dict. `config` is
+    the espnet config.yaml (optional; shapes are inferred from weights)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    for prefix in ("encoder.hubert_pretrain_model.", "hubert_pretrain_model."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            break
+    if any(k.startswith("wav2vec2.") for k in sd):
+        inner = {k[len("wav2vec2."):]: v for k, v in sd.items() if k.startswith("wav2vec2.")}
+        inner.update({k: v for k, v in sd.items() if k.startswith("mask_generator.")})
+        sd = inner
+
+    conf = {}
+    if config is not None:
+        import yaml
+
+        with open(config) as f:
+            y = yaml.safe_load(f) or {}
+        conf = dict(y.get("encoder_conf", {}))
+
+    # extractor mode must be known before key renaming; sniff it from the
+    # torchaudio names (per-layer layer_norm exists only in layer_norm mode)
+    mode = "layer_norm" if any(
+        k.startswith("feature_extractor.conv_layers.1.layer_norm.") for k in sd
+    ) else "default"
+    fsd = torchaudio_to_fairseq_keys(sd, mode)
+    cfg = espnet_hubert_config_from_sd(fsd, conf)
+    return cfg, trunk_params_from_torch(fsd, cfg)

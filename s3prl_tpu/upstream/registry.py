@@ -1036,7 +1036,69 @@ def _external_stub(name: str, package: str):
 
 
 _external_stub("pase_plus", "pase")
-_external_stub("espnet_hubert", "espnet")
+
+
+def _espnet_hubert_upstream(name, ckpt=None, model_config=None, seed=0,
+                            dtype=jnp.float32, flash=False, default_cfg=None,
+                            **kwargs) -> Upstream:
+    """ESPnet torchaudio-HuBERT (reference: s3prl/upstream/espnet_hubert/
+    expert.py:26-43 — `model.wav2vec2.extract_features(wavs, lens)[0]`).
+
+    The checkpoint is a torchaudio Wav2Vec2Model state dict inside an
+    espnet2 `.pth` (no espnet import needed — keys are renamed onto the
+    fairseq layout, see convert.torchaudio_to_fairseq_keys). torchaudio's
+    extract_features returns the L transformer LAYER OUTPUTS (no
+    input-embedding entry), so hidden_states drops the trunk's first state.
+    """
+    from ..models.wav2vec2 import BASE as _BASE
+
+    if ckpt is not None:
+        from .convert import load_espnet_hubert_checkpoint
+
+        cfg, params = load_espnet_hubert_checkpoint(ckpt, model_config)
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, use_flash=flash)
+        variables = {"params": params}
+    else:
+        cfg = default_cfg or _BASE
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, use_flash=flash)
+        logger.info(f"{name}: no ckpt given — random initialization")
+        probe = jnp.zeros((1, 16000), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, probe, jnp.asarray([16000]), deterministic=True)
+        )(jax.random.key(seed))
+
+    def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
+        hs, lens = model.apply(
+            variables, wavs, wav_lens, deterministic=not train, rngs=rngs
+        )
+        return hs[1:], lens  # layer outputs only (torchaudio layout)
+
+    return Upstream(
+        name=name, apply_fn=apply_fn, params=variables,
+        num_layers=cfg.encoder_layers, hidden_size=cfg.encoder_embed_dim,
+        downsample_rate=320,
+    )
+
+
+@register("espnet_hubert")
+@register("espnet_hubert_custom")
+@register("espnet_hubert_local")
+@register("espnet_hubert_base_iter0")
+@register("espnet_hubert_base_iter1")
+@register("cvhubert")
+def espnet_hubert(**kwargs) -> Upstream:
+    return _espnet_hubert_upstream("espnet_hubert", **kwargs)
+
+
+@register("espnet_hubert_large_gs_ll60k")
+@register("wavlablm_ek_40k")
+@register("wavlablm_mk_40k")
+@register("wavlablm_ms_40k")
+def espnet_hubert_large(**kwargs) -> Upstream:
+    # no-ckpt default: Large shapes (the named entries are all 24L/1024)
+    from ..models.wav2vec2 import LARGE
+
+    return _espnet_hubert_upstream("espnet_hubert_large", default_cfg=LARGE, **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,16 @@ CKPT_URLS = {
     "wav2vec2_base_s2st_es_voxpopuli": f"{_CONVERTED}/wav2vec2_base_s2st_es_voxpopuli.pt",
     "wav2vec2_conformer_large_s2st_en_librilight": f"{_CONVERTED}/wav2vec2_conformer_large_s2st_en_librilight.pt",
     "wav2vec2_conformer_large_s2st_es_voxpopuli": f"{_CONVERTED}/wav2vec2_conformer_large_s2st_es_voxpopuli.pt",
+    # ESPnet torchaudio-HuBERT family (espnet_hubert/hubconf.py; config.yaml
+    # sits next to each ckpt in the same repo — shapes are inferred from the
+    # weights so only the ckpt is pinned)
+    "espnet_hubert_base_iter0": "https://huggingface.co/espnet/simpleoier_librispeech_hubert_iter0_train_ssl_torchaudiohubert_base_960h_pretrain_it0_raw/resolve/main/exp/hubert_iter0_train_ssl_torchaudiohubert_base_960h_pretrain_it0_raw/valid.loss.ave.pth",
+    "espnet_hubert_base_iter1": "https://huggingface.co/espnet/simpleoier_librispeech_hubert_iter1_train_ssl_torchaudiohubert_base_960h_pretrain_it1_raw/resolve/main/exp/hubert_iter1_train_ssl_torchaudiohubert_base_960h_pretrain_it1_raw/valid.loss.ave.pth",
+    "espnet_hubert_large_gs_ll60k": "https://huggingface.co/espnet/hubert_large_gs_16_librilight60k/resolve/main/mnt/datastore/exp/hubert_iter1_train_ssl_torchaudiohubert_large_960h_pretrain_it2_bins_raw/valid.loss.ave_10best.pth",
+    "cvhubert": "https://huggingface.co/espnet/espnet_cvhubert/resolve/main/exp/hubert_iter2_train_ssl_torchaudiohubert_base_960h_pretrain_it2_raw/latest.pth",
+    "wavlablm_ek_40k": "https://huggingface.co/espnet/WavLabLM-EK-40k/resolve/main/exp_li/hubert_iter2_train_ssl_torchaudiohubert_large_960h_pretrain_it2_cont_raw_layer_9/5epoch.pth",
+    "wavlablm_mk_40k": "https://huggingface.co/espnet/WavLabLM-MK-40k/resolve/main/exp_li/hubert_iter2_train_ssl_torchaudiohubert_large_960h_pretrain_it2_wavlm_raw_layer_9/valid.acc_m.ave_10best.pth",
+    "wavlablm_ms_40k": "https://huggingface.co/espnet/WavLabLM-MS-40k/resolve/main/exp_babel/hubert_iter2_train_ssl_torchaudiohubert_large_960h_pretrain_it2_wavlm_babel_light_raw_layer_9/5epoch.pth",
     # BYOL-S encoder variants (byol_s/hubconf.py)
     "byol_s_default": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/default2048_BYOLAs64x96-2105311814-e100-bs256-lr0003-rs42.pth",
     "byol_s_cvt": "https://github.com/GasserElbanna/serab-byols/raw/main/checkpoints/cvt_s1-d1-e64_s2-d1-e256_s3-d1-e512_BYOLAs64x96-osandbyolaloss6373-e100-bs256-lr0003-rs42.pth",

@@ -273,6 +273,97 @@ def v4_attention(qv, kt, kv_lens, num_heads, heads_per_group=2,
     return out[:, :Tt]
 
 
+# ---------------------------------------------------------------- v9 diag
+# FLOP-equivalent single big matmul chain per cell: q[BQ,C]@kt[C,T] then
+# @v[T,C]. WRONG semantics — purely measures what the MXU could do if the
+# per-head structure vanished.
+def _v9_kernel(qv_ref, kt_ref, v_ref, kvlen_ref, o_ref):
+    s = jax.lax.dot_general(
+        qv_ref[:, : kt_ref.shape[0]], kt_ref[:, :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o = jax.lax.dot_general(
+        s.astype(v_ref.dtype), v_ref[:, : o_ref.shape[1]],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[:, :] = o.astype(o_ref.dtype)
+
+
+# -------------------------------------------------------------- v10 kernel
+# Block-diagonal head packing: PACK heads share one matmul pair with PACK x
+# FLOP waste but large MXU shapes. kt_bd [PACK*D, PACK*T] and v_bd
+# [PACK*T, PACK*D] are zero-filled block diagonals built in VMEM once per
+# cell per group.
+def _v10_kernel(qv_ref, kt_ref, v_ref, kvlen_ref, o_ref, *, num_heads, pack,
+                scale, use_penalty):
+    BQ = qv_ref.shape[0]
+    Tk = kt_ref.shape[1]
+    Cc = o_ref.shape[1]
+    D = Cc // num_heads
+    if use_penalty:
+        kv_len = kvlen_ref[pl.program_id(0), 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (BQ, pack * Tk), 1) % Tk
+        penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    for g in range(num_heads // pack):
+        h0 = g * pack
+        # block-diagonal K^T: [pack*D, pack*T]
+        kt_bd = jnp.zeros((pack * D, pack * Tk), kt_ref.dtype)
+        v_bd = jnp.zeros((pack * Tk, pack * D), v_ref.dtype)
+        for j in range(pack):
+            h = h0 + j
+            kt_bd = jax.lax.dynamic_update_slice(
+                kt_bd, kt_ref[h * D : (h + 1) * D, :], (j * D, j * Tk))
+            v_bd = jax.lax.dynamic_update_slice(
+                v_bd, v_ref[:, h * D : (h + 1) * D], (j * Tk, j * D))
+        q = qv_ref[:, h0 * D : (h0 + pack) * D]  # [BQ, pack*D]
+        scores = jax.lax.dot_general(
+            q, kt_bd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, pack*T] — per-head blocks side by side
+        if use_penalty:
+            scores = scores + penalty
+        s3 = scores.reshape(BQ, pack, Tk)
+        m = jnp.max(s3, axis=2, keepdims=True)
+        e = jnp.exp(s3 - m)
+        recip = 1.0 / jnp.sum(e, axis=2, keepdims=True)
+        p = (e * recip).astype(v_ref.dtype).reshape(BQ, pack * Tk)
+        pv = jax.lax.dot_general(
+            p, v_bd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, pack*D]
+        o_ref[:, h0 * D : (h0 + pack) * D] = pv.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "pack", "use_penalty", "diag"))
+def v10_attention(qv, kt, kv_lens, num_heads, pack=4, use_penalty=True,
+                  diag=False):
+    Bb, Tt, C2 = qv.shape
+    Cc = C2 // 2
+    BQ = int(os.environ.get("BQ", 256))
+    Tp = -(-Tt // BQ) * BQ
+    if Tp != Tt:
+        qv = jnp.pad(qv, ((0, 0), (0, Tp - Tt), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Tp - Tt)))
+    kern = (_v9_kernel if diag else
+            partial(_v10_kernel, num_heads=num_heads, pack=pack,
+                    scale=(Cc // num_heads) ** -0.5, use_penalty=use_penalty))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Bb, Tp, Cc), qv.dtype),
+        grid=(Bb, Tp // BQ),
+        in_specs=[
+            pl.BlockSpec((None, BQ, Cc), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Cc, Tp), lambda b, iq: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, Cc), lambda b, iq: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, BQ, Cc), lambda b, iq: (b, iq, 0),
+                               memory_space=pltpu.VMEM),
+    )(qv, kt, qv, kv_lens.reshape(Bb, 1).astype(jnp.int32))
+    return out[:, :Tt]
+
+
 def main():
     rng = np.random.RandomState(0)
     qkv = jnp.asarray(rng.randn(B, T, 3 * C).astype(np.float32) * 0.05, DT)
@@ -342,6 +433,60 @@ def main():
     if "v8" in which:
         fn = loop_over(lambda x: v4_attention(x, kt, kv_lens, H, 8, True), qv)
         report("v8", timeit(fn, qv), "8 heads/cell BQ=512 aligned")
+
+    if "v9" in which:
+        fn = loop_over(lambda x: v10_attention(x, kt, kv_lens, H, diag=True), qv)
+        report("v9", timeit(fn, qv), "FLOP-equivalent big-matmul diagnostic")
+
+    if "v9xla" in which:
+        # same big-matmul chain in plain XLA (batched): what the MXU can do
+        def chain(x):
+            s = jnp.einsum("btc,bcs->bts", x[:, :, :C], kt,
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum("bts,bsc->btc", s.astype(x.dtype), x[:, :, C:])
+
+        fn = loop_over(chain, qv)
+        report("v9xla", timeit(fn, qv), "XLA big-matmul chain")
+
+    if "v12" in which:
+        # empty kernel: same grid/blocks, body = copy q -> o. DMA + dispatch
+        def _copy_kernel(qv_ref, kt_ref, v_ref, kvlen_ref, o_ref):
+            o_ref[:, :] = qv_ref[:, : o_ref.shape[1]]
+
+        @jax.jit
+        def copy_attn(qv2):
+            BQ = int(os.environ.get("BQ", 256))
+            Tp = -(-T // BQ) * BQ
+            qvp = jnp.pad(qv2, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qv2
+            ktp = jnp.pad(kt, ((0, 0), (0, 0), (0, Tp - T))) if Tp != T else kt
+            out = pl.pallas_call(
+                _copy_kernel,
+                out_shape=jax.ShapeDtypeStruct((B, Tp, C), qv2.dtype),
+                grid=(B, Tp // BQ),
+                in_specs=[
+                    pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, C, Tp), lambda b, iq: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 1),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                       memory_space=pltpu.VMEM),
+            )(qvp, ktp, qvp, kv_lens.reshape(B, 1).astype(jnp.int32))
+            return out[:, :T]
+
+        fn = loop_over(copy_attn, qv)
+        report("v12", timeit(fn, qv), "empty kernel: DMA+dispatch floor")
+
+    if "v10p2" in which:
+        fn = loop_over(lambda x: v10_attention(x, kt, kv_lens, H, pack=2), qv)
+        report("v10p2", timeit(fn, qv), "block-diag pack=2")
+
+    if "v10p4" in which:
+        fn = loop_over(lambda x: v10_attention(x, kt, kv_lens, H, pack=4), qv)
+        report("v10p4", timeit(fn, qv), "block-diag pack=4")
 
 
 if __name__ == "__main__":
