@@ -1531,12 +1531,95 @@ def byol_variables_from_torch(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": {"net": params}, "batch_stats": {"net": stats}}
 
 
+def _conv2d(sd: Dict[str, Any], prefix: str, bias: bool = True) -> Dict[str, Any]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn2d(sd: Dict[str, Any], prefix: str):
+    """BatchNorm2d -> (params, batch_stats)."""
+    return (
+        _norm(sd, prefix),
+        {"mean": _t(sd[f"{prefix}.running_mean"]), "var": _t(sd[f"{prefix}.running_var"])},
+    )
+
+
+def resnetish34_variables_from_torch(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a serab_byols resnetish34 state_dict (resnetish.py:176-312) onto
+    models/byol.ResNetish34 under the ByolModel "net" scope."""
+    params: Dict[str, Any] = {"conv1": _conv2d(sd, "conv1", bias=False)}
+    stats: Dict[str, Any] = {}
+    params["bn1"], stats["bn1"] = _bn2d(sd, "bn1")
+    for li, blocks in enumerate([3, 4, 6, 3]):
+        for b in range(blocks):
+            p = f"layer{li + 1}.{b}"
+            blk: Dict[str, Any] = {"conv1": _conv2d(sd, f"{p}.conv1", bias=False),
+                                   "conv2": _conv2d(sd, f"{p}.conv2", bias=False)}
+            bstats: Dict[str, Any] = {}
+            blk["bn1"], bstats["bn1"] = _bn2d(sd, f"{p}.bn1")
+            blk["bn2"], bstats["bn2"] = _bn2d(sd, f"{p}.bn2")
+            if f"{p}.downsample.0.weight" in sd:
+                blk["down_conv"] = _conv2d(sd, f"{p}.downsample.0", bias=False)
+                blk["down_bn"], bstats["down_bn"] = _bn2d(sd, f"{p}.downsample.1")
+            name = f"layer{li + 1}_{b}"
+            params[name] = blk
+            stats[name] = bstats
+    return {"params": {"net": params}, "batch_stats": {"net": stats}}
+
+
+def _cvt_ln(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    return {"g": _t(sd[f"{prefix}.g"]).reshape(-1), "b": _t(sd[f"{prefix}.b"]).reshape(-1)}
+
+
+def _cvt_dwconv(sd: Dict[str, Any], prefix: str):
+    """DepthWiseConv2d (cvt.py:86-105): net.0 dw conv, net.1 BN, net.2 pw."""
+    params = {
+        "dw": _conv2d(sd, f"{prefix}.net.0"),
+        "pw": _conv2d(sd, f"{prefix}.net.2"),
+    }
+    params["bn"], stats = _bn2d(sd, f"{prefix}.net.1")
+    return params, {"bn": stats}
+
+
+def cvt_variables_from_torch(sd: Dict[str, Any], depths=(1, 1, 1)) -> Dict[str, Any]:
+    """Map a serab_byols CvT state_dict (cvt.py:199-323; the model is one
+    nn.Sequential: per stage [conv, LayerNorm, Transformer]) onto
+    models/byol.CvT under the ByolModel "net" scope."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for si, depth in enumerate(depths):
+        params[f"s{si}_embed"] = _conv2d(sd, f"layers.{si}.0")
+        params[f"s{si}_ln"] = _cvt_ln(sd, f"layers.{si}.1")
+        for d in range(depth):
+            base = f"layers.{si}.2.layers.{d}"
+            params[f"s{si}_attn{d}_norm"] = _cvt_ln(sd, f"{base}.0.norm")
+            attn: Dict[str, Any] = {}
+            astats: Dict[str, Any] = {}
+            attn["to_q"], astats["to_q"] = _cvt_dwconv(sd, f"{base}.0.fn.to_q")
+            attn["to_kv"], astats["to_kv"] = _cvt_dwconv(sd, f"{base}.0.fn.to_kv")
+            attn["to_out"] = _conv2d(sd, f"{base}.0.fn.to_out.0")
+            params[f"s{si}_attn{d}"] = attn
+            stats[f"s{si}_attn{d}"] = astats
+            params[f"s{si}_ff{d}_norm"] = _cvt_ln(sd, f"{base}.1.norm")
+            params[f"s{si}_ff{d}"] = {
+                "fc1": _conv2d(sd, f"{base}.1.fn.net.0"),
+                "fc2": _conv2d(sd, f"{base}.1.fn.net.3"),
+            }
+    return {"params": {"net": params}, "batch_stats": {"net": stats}}
+
+
 def load_byol_checkpoint(path: str) -> Dict[str, Any]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
+    if any(k.startswith("layer1.") for k in ckpt):
+        return resnetish34_variables_from_torch(ckpt)
+    if any(".to_q." in k for k in ckpt):
+        return cvt_variables_from_torch(ckpt)
     return byol_variables_from_torch(ckpt)
 
 

@@ -688,9 +688,11 @@ def _byol_upstream(name, cfg, ckpt=None, seed=0, **kwargs) -> Upstream:
     def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
         return model.apply(variables, wavs, wav_lens, deterministic=not train, rngs=rngs)
 
+    from ..models.byol import byol_embedding_size
+
     return Upstream(
         name=name, apply_fn=apply_fn, params=variables,
-        num_layers=1, hidden_size=cfg.feature_d,
+        num_layers=1, hidden_size=byol_embedding_size(cfg),
         downsample_rate=int(cfg.stride_secs * 16000),
     )
 
@@ -723,6 +725,22 @@ def byol_s(**kwargs) -> Upstream:
     from ..models.byol import BYOL_S_DEFAULT
 
     return _byol_upstream("byol_s", BYOL_S_DEFAULT, **kwargs)
+
+
+@register("byol_s_resnetish34")
+def byol_s_resnetish34(**kwargs) -> Upstream:
+    """BYOL-S with the resnetish34 window encoder (serab.py:46-47)."""
+    from ..models.byol import BYOL_S_RESNETISH34
+
+    return _byol_upstream("byol_s_resnetish34", BYOL_S_RESNETISH34, **kwargs)
+
+
+@register("byol_s_cvt")
+def byol_s_cvt(**kwargs) -> Upstream:
+    """BYOL-S with the CvT window encoder (serab.py:52-67)."""
+    from ..models.byol import BYOL_S_CVT
+
+    return _byol_upstream("byol_s_cvt", BYOL_S_CVT, **kwargs)
 
 
 # ---------------------------------------------------------------------------

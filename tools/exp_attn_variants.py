@@ -480,6 +480,77 @@ def main():
         fn = loop_over(copy_attn, qv)
         report("v12", timeit(fn, qv), "empty kernel: DMA+dispatch floor")
 
+    if "harness0" in which:
+        # loop-harness floor: trivial elementwise op, no pallas
+        fn = loop_over(lambda x: x[:, :, :C] * 1.0001, qv)
+        report("harness0", timeit(fn, qv), "loop dep + one slice-mul")
+
+    if "v12a" in which or "v12b" in which:
+        def _copy_q(q_ref, o_ref):
+            o_ref[:, :] = q_ref[:, : o_ref.shape[1]]
+
+        def copy_attn2(qv2, BQ):
+            Tp = -(-T // BQ) * BQ
+            qvp = jnp.pad(qv2, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qv2
+            out = pl.pallas_call(
+                _copy_q,
+                out_shape=jax.ShapeDtypeStruct((B, Tp, C), qv2.dtype),
+                grid=(B, Tp // BQ),
+                in_specs=[pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                       memory_space=pltpu.VMEM),
+            )(qvp)
+            return out[:, :T]
+
+        if "v12a" in which:
+            fn = loop_over(lambda x: copy_attn2(x, 256), qv)
+            report("v12a", timeit(fn, qv), "copy kernel, q-only input, BQ=256")
+        if "v12b" in which:
+            fn = loop_over(lambda x: copy_attn2(x, 512), qv)
+            report("v12b", timeit(fn, qv), "copy kernel, q-only input, BQ=512")
+
+    if "v13" in which:
+        # pallas MXU rate at block shapes: per cell [BQ,C]@[C,C] x2 chained
+        w = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.02, DT)
+
+        def _mm_kernel(q_ref, w_ref, o_ref):
+            a = jax.lax.dot_general(q_ref[:, :w_ref.shape[0]], w_ref[:, :],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            b = jax.lax.dot_general(a.astype(w_ref.dtype), w_ref[:, :],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[:, :] = b.astype(o_ref.dtype)
+
+        @jax.jit
+        def mm(qv2):
+            BQ = 256
+            Tp = -(-T // BQ) * BQ
+            qvp = jnp.pad(qv2, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qv2
+            out = pl.pallas_call(
+                _mm_kernel,
+                out_shape=jax.ShapeDtypeStruct((B, Tp, C), qv2.dtype),
+                grid=(B, Tp // BQ),
+                in_specs=[
+                    pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, C), lambda b, iq: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                                       memory_space=pltpu.VMEM),
+            )(qvp, w)
+            return out[:, :T]
+
+        fn = loop_over(mm, qv)
+        ms = timeit(fn, qv)
+        flops = B * 512 * C * C * 2 * 2
+        print(json.dumps({"variant": "v13", "ms": round(ms * 1e3, 2),
+                          "tflops": round(flops / ms / 1e12, 1),
+                          "notes": "pallas [256,1024]@[1024,1024]x2 per cell"}),
+              flush=True)
+
     if "v10p2" in which:
         fn = loop_over(lambda x: v10_attention(x, kt, kv_lens, H, pack=2), qv)
         report("v10p2", timeit(fn, qv), "block-diag pack=2")
