@@ -97,6 +97,7 @@ class SelfAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False  # Pallas fused attention (forward-only paths)
+    quantize: bool = False  # int8 W8A8 projections (serving; ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -106,10 +107,13 @@ class SelfAttention(nn.Module):
         attn_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        from ..ops.quant import dense
+
         B, T, C = x.shape
         H = self.num_heads
         Dh = C // H
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # one MXU matmul
+        qkv = dense(3 * C, quantize=self.quantize, dtype=self.dtype,
+                    name="qkv")(x)  # one MXU matmul
         if self.use_flash and attn_bias is None:
             from ..kernels.flash_attention import fused_qkv_attention
 
@@ -129,7 +133,8 @@ class SelfAttention(nn.Module):
             out = attention_bthd(q, qkv[:, :, 1], qkv[:, :, 2],
                                  key_padding_mask, attn_bias)
             out = out.reshape(B, T, C)
-        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        return dense(C, quantize=self.quantize, dtype=self.dtype,
+                     name="out_proj")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -145,6 +150,7 @@ class EncoderLayer(nn.Module):
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantize: bool = False
     layer_norm_eps: float = 1e-5  # timm ViT blocks use 1e-6
 
     def _act(self, x):
@@ -166,7 +172,7 @@ class EncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         attn = lambda h: SelfAttention(
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
-            self.use_flash, name="self_attn",
+            self.use_flash, self.quantize, name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
         ln_attn = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
                                name="self_attn_layer_norm")
@@ -176,9 +182,13 @@ class EncoderLayer(nn.Module):
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 
         def ffn(h):
-            h = self._act(nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h))
+            from ..ops.quant import dense
+
+            h = self._act(dense(self.ffn_dim, quantize=self.quantize,
+                                dtype=self.dtype, name="fc1")(h))
             h = drop_act(h)
-            return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+            return dense(self.embed_dim, quantize=self.quantize,
+                         dtype=self.dtype, name="fc2")(h)
 
         if self.layer_norm_first:
             x = x + drop(attn(ln_attn(x).astype(self.dtype)))
@@ -212,6 +222,7 @@ class TransformerEncoder(nn.Module):
     layerdrop: float = 0.0
     remat: bool = False
     use_flash: bool = False
+    quantize: bool = False  # int8 W8A8 layer projections (serving)
     layer_type: str = "transformer"  # "transformer" | "conformer"
     use_pos_conv: bool = True  # skip_pos_conv variant (wav2vec2_model.py:3026-3028)
     pos_enc_type: str = "rel_pos"  # conformer: "abs" | "rel_pos" | "rope"
@@ -292,7 +303,8 @@ class TransformerEncoder(nn.Module):
             layer = layer_cls(
                 self.embed_dim, self.ffn_dim, self.num_heads, self.layer_norm_first,
                 self.dropout, self.activation_dropout, self.attention_dropout,
-                self.activation, self.dtype, self.use_flash, name="layers",
+                self.activation, self.dtype, self.use_flash, self.quantize,
+                name="layers",
             )
         acc0 = jnp.zeros_like(x) if fused else jnp.zeros((), x.dtype)
         ws = layer_weights[: self.num_layers, None] if fused else jnp.zeros((self.num_layers, 1))

@@ -103,6 +103,7 @@ class Wav2Vec2Trunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False  # Pallas fused attention (forward-only paths)
+    quantize: bool = False  # int8 W8A8 encoder projections (serving)
 
     @nn.compact
     def __call__(
@@ -189,6 +190,7 @@ class Wav2Vec2Trunk(nn.Module):
             depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
             remat=self.remat,
             use_flash=self.use_flash,
+            quantize=self.quantize,
             dtype=self.dtype,
             name="encoder",
         )(features, padding_mask, deterministic=deterministic,

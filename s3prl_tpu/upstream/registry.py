@@ -113,6 +113,7 @@ def _trunk_upstream(
     seed: int = 0,
     remat: bool = False,
     flash: bool = False,
+    quantize: bool = False,
 ) -> Upstream:
     if ckpt is not None:
         from .convert import load_trunk_variables
@@ -120,9 +121,11 @@ def _trunk_upstream(
         # the architecture follows the checkpoint's model_cfg (so aliases
         # like xlsr_53 / conformer entries build the published shape)
         cfg, variables = load_trunk_variables(ckpt, fallback_cfg=cfg)
-        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash,
+                              quantize=quantize)
     else:
-        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash)
+        model = Wav2Vec2Trunk(cfg, dtype=dtype, remat=remat, use_flash=flash,
+                              quantize=quantize)
     if ckpt is None:
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)

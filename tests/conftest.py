@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated suite runs skip most XLA compiles
+# (the dominant cost of this suite); shared across xdist workers (the cache
+# is multi-process safe — sha-named files + atomic rename)
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/jax_test_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 

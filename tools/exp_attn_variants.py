@@ -57,15 +57,19 @@ def report(name, ms, notes=""):
 
 
 def loop_over(fn, x):
-    """fn: x -> out [B, T, C]-ish; chains a data dependency."""
+    """fn: x -> out [B, T, C]-ish; chains a data dependency.
+
+    The dependency is a 1-element dynamic_update_slice (in-place inside the
+    XLA while loop) — NOT a full-buffer add, which costs ~3.6 ms/iter at
+    these shapes and used to contaminate every measurement."""
 
     @jax.jit
     def loop(x):
         def body(i, carry):
             h, acc = carry
             o = fn(h)
-            dep = 0.0 * o[:, :1, :1].astype(h.dtype)
-            return (h + jnp.pad(dep, ((0, 0), (0, h.shape[1] - 1), (0, h.shape[2] - 1))),
+            dep = h[:1, :1, :1] + 0.0 * o[:1, :1, :1].astype(h.dtype)
+            return (jax.lax.dynamic_update_slice(h, dep, (0, 0, 0)),
                     acc + o[0, 0, 0].astype(jnp.float32))
 
         _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0)))
@@ -484,6 +488,16 @@ def main():
         # loop-harness floor: trivial elementwise op, no pallas
         fn = loop_over(lambda x: x[:, :, :C] * 1.0001, qv)
         report("harness0", timeit(fn, qv), "loop dep + one slice-mul")
+
+    if "hbm" in which:
+        # raw HBM bandwidth: one full-buffer elementwise pass per iter
+        nbytes = qv.size * 2 * 2  # read + write, bf16
+        fn = loop_over(lambda x: x * 1.0001, qv)
+        ms = timeit(fn, qv)
+        print(json.dumps({"variant": "hbm", "ms": round(ms * 1e3, 2),
+                          "gbps": round(nbytes / ms / 1e9, 1),
+                          "notes": f"{qv.size*2/1e6:.0f} MB buffer copy-mul"}),
+              flush=True)
 
     if "v12a" in which or "v12b" in which:
         def _copy_q(q_ref, o_ref):
