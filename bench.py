@@ -41,7 +41,12 @@ def main():
     mode = os.environ.get("BENCH_MODE", "hidden_states")
 
     flash = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas fused attention (beats XLA at every protocol length)
-    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=flash)
+    # BENCH_QUANT=1: int8 W8A8 encoder projections (dynamic per-token/
+    # per-channel scales, ops/quant.py). Hidden-state cosine vs the float
+    # path is >0.999 (tests/test_quant.py + PARITY.md); default stays bf16.
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=flash,
+                  quantize=quant)
 
     T = int(16000 * secs)
     rng = np.random.RandomState(0)

@@ -182,8 +182,18 @@ class EncoderLayer(nn.Module):
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 
         def ffn(h):
-            from ..ops.quant import dense
+            from ..ops.quant import LinearParams, dense
 
+            fused = (
+                self.quantize and deterministic and self.activation == "gelu"
+                and jax.default_backend() == "tpu"
+            )
+            if fused:  # one VMEM pass, int8 weights resident (kernels/ffn.py)
+                from ..kernels.ffn import fused_int8_ffn
+
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                return fused_int8_ffn(h, k1, b1, k2, b2)
             h = self._act(dense(self.ffn_dim, quantize=self.quantize,
                                 dtype=self.dtype, name="fc1")(h))
             h = drop_act(h)

@@ -87,3 +87,21 @@ def dense(features: int, *, quantize: bool = False, dtype=jnp.float32,
     if quantize:
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+class LinearParams(nn.Module):
+    """Registers nn.Dense-shaped params ("kernel", "bias") and returns them
+    raw — for fused kernels that consume weights directly while keeping the
+    checkpoint param tree identical to nn.Dense."""
+
+    in_features: int
+    out_features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.out_features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,),
+                       self.param_dtype)
+        return k, b

@@ -76,3 +76,22 @@ def test_trunk_quantized_hidden_state_quality():
     assert hs_q.shape == hs_f.shape
     for l in range(hs_f.shape[0]):
         assert _cos(hs_q[l], hs_f[l]) > 0.999, f"layer {l}"
+
+
+def test_fused_int8_ffn_kernel_interpret():
+    """kernels/ffn.py matches the float FFN closely (interpret mode)."""
+    from s3prl_tpu.kernels.ffn import fused_int8_ffn
+
+    rng = np.random.RandomState(3)
+    B, T, C, F = 2, 7, 128, 256
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.randn(C, F).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.01)
+    w2 = jnp.asarray(rng.randn(F, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.01)
+
+    ref = jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+    out = fused_int8_ffn(x, w1, b1, w2, b2, interpret=True)
+    assert _cos(out, ref) > 0.999
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05 * float(jnp.abs(ref).max()))

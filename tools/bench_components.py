@@ -176,7 +176,8 @@ def bench_encoder(flash: bool):
     mod = TransformerEncoder(
         embed_dim=C, ffn_dim=FFN, num_layers=L, num_heads=H,
         layer_norm_first=True, dropout=0.0, attention_dropout=0.0,
-        use_flash=flash, dtype=DT,
+        use_flash=flash, quantize=os.environ.get("BENCH_QUANT", "0") == "1",
+        dtype=DT,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, T_FEAT, C).astype(np.float32), DT)
@@ -203,7 +204,9 @@ def bench_encoder(flash: bool):
 def bench_full():
     from s3prl_tpu import hub
 
-    up = hub.load("hubert_large_ll60k", dtype=DT, flash=os.environ.get("BENCH_FLASH", "1") == "1")
+    up = hub.load("hubert_large_ll60k", dtype=DT,
+                  flash=os.environ.get("BENCH_FLASH", "1") == "1",
+                  quantize=os.environ.get("BENCH_QUANT", "0") == "1")
     rng = np.random.RandomState(0)
     wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
     lens = jnp.full((B,), T_WAV, jnp.int32)

@@ -43,7 +43,7 @@ def bench_chain(dtype_name):
 
         @jax.jit
         def loop(x):
-            def body(i, carry):
+            def body(carry, _):
                 h, acc = carry
                 a = jax.lax.dot_general(h, w1, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.int32)
@@ -65,7 +65,7 @@ def bench_chain(dtype_name):
 
         @jax.jit
         def loop(x):
-            def body(i, carry):
+            def body(carry, _):
                 h, acc = carry
                 a = (h @ w1).astype(dt)
                 b = (a @ w2).astype(dt)
@@ -91,7 +91,7 @@ def bench_quant_dense():
 
     @jax.jit
     def loop(x):
-        def body(i, carry):
+        def body(carry, _):
             h, acc = carry
             a = int8_matmul(h, w1)
             b = int8_matmul(a, w2)
