@@ -1,17 +1,27 @@
-"""Pallas TPU kernel: fused int8 W8A8 transformer FFN.
+"""Pallas TPU kernels: fused int8 W8A8 transformer projections.
 
-fc1 -> bias -> GELU -> fc2 -> bias in one VMEM-resident pass per
-(batch, row-block) grid cell. Why this is the shape of the win on this
-hardware (measured, tools/bench_int8.py + exp_attn_variants.py):
+Two kernels for the pre-LN serving path:
+
+- ``fused_int8_ffn``: [LN ->] fc1 -> bias -> GELU -> fc2 -> bias [-> +x]
+  in one VMEM-resident pass per (row-block) grid cell.
+- ``fused_int8_linear``: [LN ->] matmul -> bias [-> +residual] — covers the
+  QKV projection (LN folded in) and the attention output projection
+  (residual folded in).
+
+Why this is the shape of the win on this hardware (measured,
+tools/bench_int8.py + bench_components.py):
 
 - the XLA lowering writes the [B, T, 4C] fc1 activation to HBM and reads it
   back (~1 GB per HuBERT-Large layer at B=128/10 s), and the dynamic-quant
   XLA path adds dequant/requant passes — on this chip's measured effective
   HBM bandwidth (~170-230 GB/s through the tunnel) that traffic dominates;
-- int8 weights halve the weight stream and run the MXU at ~1.8x the bf16
-  rate (chain_int8 179 TOP/s vs chain_bf16 99 TF/s at the FFN shapes).
+- int8 weights halve the weight stream and run the MXU above the bf16 rate
+  (chain_int8 179 TOP/s vs chain_bf16 99 TF/s at the FFN shapes);
+- with LN/residual folded in, each layer tensor makes exactly one HBM round
+  trip per fused stage — the separate f32 LayerNorm read-modify-write and
+  the residual-add pass disappear.
 
-Here the intermediate activation never leaves VMEM: the FFN dim is processed
+The FFN intermediate activation never leaves VMEM: the FFN dim is processed
 in chunks, each chunk dequantized, GELU'd (A&S erf — Mosaic has no erf
 primitive), requantized per row, and accumulated into the output in f32.
 Weights ride as grid-constant blocks (fetched once per layer). Activation
@@ -33,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .conv_frontend import _erf
 
-BQ = 256  # rows per grid cell
+BQ = 256  # rows per grid cell (FFN kernel)
+BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
 CHUNK = 1024  # FFN columns per in-kernel chunk
 
 
@@ -43,9 +54,16 @@ def _quant_rows(x):
     return q, s
 
 
+def _layernorm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
-                o_ref, *, chunks):
-    x = x_ref[:, :].astype(jnp.float32)
+                ln_ref, o_ref, *, chunks, ln, residual):
+    x_in = x_ref[:, :].astype(jnp.float32)
+    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
     x8, xs = _quant_rows(x)
     C_out = o_ref.shape[1]
     acc = jnp.zeros((x.shape[0], C_out), jnp.float32)
@@ -65,31 +83,27 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         acc = acc + y * hs * w2s_ref[0, :]
-    o_ref[:, :] = (acc + b2_ref[0, :]).astype(o_ref.dtype)
+    out = acc + b2_ref[0, :]
+    if residual:
+        out = out + x_in
+    o_ref[:, :] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_int8_ffn(x, w1, b1, w2, b2, interpret: bool = False):
-    """x [B, T, C] -> fc2(gelu(fc1(x))) [B, T, C] with W8A8 quantization.
-
-    w1 [C, FFN], w2 [FFN, C] in checkpoint dtype; quantized per output
-    channel here (XLA, trivial vs the activation work).
-    """
+@partial(jax.jit, static_argnames=("residual", "interpret"))
+def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
     B, T, C = x.shape
-    FFN = w1.shape[1]
-    w1s = jnp.maximum(jnp.max(jnp.abs(w1.astype(jnp.float32)), axis=0), 1e-8) / 127.0
-    w1q = jnp.clip(jnp.round(w1.astype(jnp.float32) / w1s), -127, 127).astype(jnp.int8)
-    w2s = jnp.maximum(jnp.max(jnp.abs(w2.astype(jnp.float32)), axis=0), 1e-8) / 127.0
-    w2q = jnp.clip(jnp.round(w2.astype(jnp.float32) / w2s), -127, 127).astype(jnp.int8)
-
+    FFN = w1q.shape[1]
     rows = B * T
     Rp = -(-rows // BQ) * BQ
     x2 = x.reshape(rows, C)
     if Rp != rows:
         x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0)))
     chunks = max(FFN // CHUNK, 1)
+    ln = ln2 is not None
+    if not ln:
+        ln2 = jnp.zeros((2, C), jnp.float32)
     out = pl.pallas_call(
-        partial(_ffn_kernel, chunks=chunks),
+        partial(_ffn_kernel, chunks=chunks, ln=ln, residual=residual),
         out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
         grid=(Rp // BQ,),
         in_specs=[
@@ -100,12 +114,109 @@ def fused_int8_ffn(x, w1, b1, w2, b2, interpret: bool = False):
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FFN), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BQ, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
         x2, w1q, b1.reshape(1, FFN).astype(jnp.float32), w2q,
         b2.reshape(1, C).astype(jnp.float32),
-        w1s.reshape(1, FFN), w2s.reshape(1, C),
+        w1s.reshape(1, FFN), w2s.reshape(1, C), ln2,
     )
     return out[:rows].reshape(B, T, C)
+
+
+def _quant_cols_np(w):
+    ws = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
+
+
+def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
+                   interpret: bool = False):
+    """x [B, T, C] -> [x +] fc2(gelu(fc1([LN](x)))) with W8A8 quantization.
+
+    w1 [C, FFN], w2 [FFN, C] in checkpoint dtype; quantized per output
+    channel here (XLA, trivial vs the activation work). `ln` is an optional
+    (scale[C], bias[C]) tuple applied to x before fc1 (the pre-LN block's
+    final_layer_norm); `residual=True` adds the pre-LN x back to the output.
+    """
+    w1q, w1s = _quant_cols_np(w1)
+    w2q, w2s = _quant_cols_np(w2)
+    ln2 = (
+        jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
+        if ln is not None else None
+    )
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual=residual,
+                     interpret=interpret)
+
+
+def _linear_kernel(x_ref, r_ref, wq_ref, b_ref, ws_ref, ln_ref, o_ref, *,
+                   ln, residual):
+    x_in = x_ref[:, :].astype(jnp.float32)
+    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
+    x8, xs = _quant_rows(x)
+    y = jax.lax.dot_general(
+        x8, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * xs * ws_ref[0, :] + b_ref[0, :]
+    if residual:
+        y = y + r_ref[:, :].astype(jnp.float32)
+    o_ref[:, :] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _linear_call(x, residual, wq, b, ws, ln2, interpret=False):
+    B, T, C = x.shape
+    N = wq.shape[1]
+    rows = B * T
+    Rp = -(-rows // BQL) * BQL
+    x2 = x.reshape(rows, C)
+    has_res = residual is not None
+    r2 = residual.reshape(rows, N) if has_res else jnp.zeros((1, N), x.dtype)
+    if Rp != rows:
+        x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0)))
+        if has_res:
+            r2 = jnp.pad(r2, ((0, Rp - rows), (0, 0)))
+    ln = ln2 is not None
+    if not ln:
+        ln2 = jnp.zeros((2, C), jnp.float32)
+    out = pl.pallas_call(
+        partial(_linear_kernel, ln=ln, residual=has_res),
+        out_shape=jax.ShapeDtypeStruct((Rp, N), x.dtype),
+        grid=(Rp // BQL,),
+        in_specs=[
+            pl.BlockSpec((BQL, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((BQL, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                if has_res
+                else pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            ),
+            pl.BlockSpec((C, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BQL, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, r2, wq, b.reshape(1, N).astype(jnp.float32), ws.reshape(1, N), ln2)
+    return out[:rows].reshape(B, T, N)
+
+
+def fused_int8_linear(x, w, b, ln=None, residual=None, interpret: bool = False):
+    """x [B, T, C] -> [LN](x) @ w + b [+ residual], W8A8 quantized.
+
+    `ln`: optional (scale[C], bias[C]) folded before the matmul (the pre-LN
+    block's self_attn_layer_norm feeding the QKV projection). `residual`:
+    optional [B, T, N] tensor added after the bias (the attention block's
+    skip connection folded into the output projection).
+    """
+    wq, ws = _quant_cols_np(w)
+    ln2 = (
+        jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
+        if ln is not None else None
+    )
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _linear_call(x, residual, wq, b, ws, ln2, interpret=interpret)

@@ -151,12 +151,40 @@ class _NormParams(nn.Module):
         return scale, bias
 
 
+class _Int8MidConv(nn.Module):
+    """Valid strided conv as per-tap W8A8 int8 GEMMs (ops/quant.py
+    int8_conv1d_valid). Param path/shape identical to nn.Conv; serving only
+    (not differentiable through the round)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        from ..ops.quant import int8_conv1d_valid
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, x.shape[-1], self.features), jnp.float32,
+        )
+        out = int8_conv1d_valid(x, kernel, self.stride, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"  # "default" | "layer_norm"
     conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
-    impl: str = "conv"  # "conv" (XLA strided conv) | "im2col" (patch GEMMs)
+    impl: str = "conv"  # "conv" (XLA conv) | "im2col" (patch GEMMs) | "int8"
+    quantize: bool = False  # accepted for config symmetry; conv layers keep
+    # bf16 even in quantized serving (int8 convs measured slower on-chip)
 
     @nn.compact
     def __call__(self, wavs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -195,6 +223,13 @@ class ConvFeatureExtractor(nn.Module):
                 # _Im2ColConv computes the identical op as a patches matmul
                 # (same param path/shape as nn.Conv for ckpt compatibility)
                 x = _Im2ColConv(dim, k, stride, self.conv_bias, self.dtype, name="conv_0")(x)
+            elif self.impl == "int8" and not train:
+                # measured SLOWER than the XLA bf16 conv on the axon tunnel
+                # chip (full path 131 ms vs 98 ms, tools/bench_components.py)
+                # — selectable for real-v5e runs, not routed by `quantize`
+                x = _Int8MidConv(
+                    dim, k, stride, self.conv_bias, self.dtype, name=f"conv_{i}"
+                )(x)
             elif self.impl == "im2col":
                 x = _Im2ColConvGeneral(
                     dim, k, stride, self.conv_bias, self.dtype, name=f"conv_{i}"

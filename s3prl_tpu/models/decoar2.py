@@ -14,6 +14,8 @@ from ..ops.masking import length_mask
 
 class Decoar2Model(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    num_layers: int = 12  # the reference default (decoar2.py:12); factories
+    # size this from the checkpoint's actual layer count when loading
 
     @nn.compact
     def __call__(self, feats, feat_lens, deterministic=True):
@@ -21,7 +23,7 @@ class Decoar2Model(nn.Module):
         x = nn.Dropout(0.1)(x, deterministic=deterministic)
         pad = ~length_mask(feat_lens, x.shape[1])
         _, hs = TransformerEncoder(
-            embed_dim=768, ffn_dim=3072, num_layers=12, num_heads=12,
+            embed_dim=768, ffn_dim=3072, num_layers=self.num_layers, num_heads=12,
             layer_norm_first=False, dropout=0.1, attention_dropout=0.1,
             dtype=self.dtype, name="encoder",
         )(x, pad, deterministic=deterministic)

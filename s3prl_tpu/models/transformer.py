@@ -137,6 +137,35 @@ class SelfAttention(nn.Module):
                      name="out_proj")(out)
 
 
+def _fused_block_available() -> bool:
+    """The fused int8 serving kernels run on TPU; the Pallas kernels
+    auto-interpret on CPU (tests override this to exercise the path)."""
+    return jax.default_backend() == "tpu"
+
+
+def _full_fuse_enabled() -> bool:
+    """Opt-in (S3PRL_FULL_FUSE=1): Pallas-fused QKV/out-proj linears too.
+    Measured slower than XLA QuantDense projections on the tunnel chip."""
+    import os
+
+    return os.environ.get("S3PRL_FULL_FUSE", "0") == "1"
+
+
+class _AttnProjParams(nn.Module):
+    """Declares SelfAttention's qkv/out_proj params (same tree) for the
+    fused serving path that consumes the weights directly."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        from ..ops.quant import LinearParams
+
+        q = LinearParams(self.embed_dim, 3 * self.embed_dim, name="qkv")()
+        o = LinearParams(self.embed_dim, self.embed_dim, name="out_proj")()
+        return q, o
+
+
 class EncoderLayer(nn.Module):
     """Pre-/post-LN transformer block (wav2vec2_model.py:3214)."""
 
@@ -162,6 +191,31 @@ class EncoderLayer(nn.Module):
             return nn.silu(x)
         raise ValueError(self.activation)
 
+    def _fused_block(self, x, key_padding_mask):
+        # helper called from the compact __call__ — declares the same
+        # submodule/param names as the unfused path
+        from ..kernels.ffn import fused_int8_ffn, fused_int8_linear
+        from ..kernels.flash_attention import fused_qkv_attention
+        from ..ops.quant import LinearParams, NormParams
+
+        C = self.embed_dim
+        ln1 = NormParams(C, name="self_attn_layer_norm")()
+        (kq, bq), (ko, bo) = _AttnProjParams(C, name="self_attn")()
+        ln2 = NormParams(C, name="final_layer_norm")()
+        k1, b1 = LinearParams(C, self.ffn_dim, name="fc1")()
+        k2, b2 = LinearParams(self.ffn_dim, C, name="fc2")()
+
+        B, T, _ = x.shape
+        kv_lens = (
+            (~key_padding_mask).sum(-1).astype(jnp.int32)
+            if key_padding_mask is not None
+            else jnp.full((B,), T, jnp.int32)
+        )
+        qkv = fused_int8_linear(x, kq, bq, ln=ln1)
+        a = fused_qkv_attention(qkv, kv_lens, self.num_heads)
+        x = fused_int8_linear(a, ko, bo, residual=x)
+        return fused_int8_ffn(x, k1, b1, k2, b2, ln=ln2, residual=True)
+
     @nn.compact
     def __call__(
         self,
@@ -170,25 +224,35 @@ class EncoderLayer(nn.Module):
         attn_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        quant_serving = (
+            self.quantize and deterministic and self.activation == "gelu"
+            and _fused_block_available()
+        )
+        if (
+            quant_serving and self.layer_norm_first and self.use_flash
+            and attn_bias is None and _full_fuse_enabled()
+        ):
+            # whole pre-LN block as 4 fused kernels (LN+QKV, attention,
+            # out-proj+residual, LN+FFN+residual). Param tree is identical
+            # to the unfused modules below. MEASURED SLOWER than the
+            # partial fusion on the axon tunnel chip (3,025 vs 3,215
+            # audio-sec/s) — the XLA QuantDense projections beat the
+            # Pallas linear kernel at these shapes — kept behind
+            # S3PRL_FULL_FUSE=1 for A/B on other hardware.
+            return self._fused_block(x, key_padding_mask)
         attn = lambda h: SelfAttention(
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
             self.use_flash, self.quantize, name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
         ln_attn = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
                                name="self_attn_layer_norm")
-        ln_final = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
-                                name="final_layer_norm")
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 
         def ffn(h):
             from ..ops.quant import LinearParams, dense
 
-            fused = (
-                self.quantize and deterministic and self.activation == "gelu"
-                and jax.default_backend() == "tpu"
-            )
-            if fused:  # one VMEM pass, int8 weights resident (kernels/ffn.py)
+            if quant_serving:  # one VMEM pass, int8 weights (kernels/ffn.py)
                 from ..kernels.ffn import fused_int8_ffn
 
                 k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
@@ -202,8 +266,26 @@ class EncoderLayer(nn.Module):
 
         if self.layer_norm_first:
             x = x + drop(attn(ln_attn(x).astype(self.dtype)))
-            x = x + drop(ffn(ln_final(x).astype(self.dtype)))
+            if quant_serving and self.layer_norm_eps == 1e-5:
+                # final_layer_norm + FFN + residual in one kernel pass —
+                # the LN read-modify-write and the residual add never
+                # round-trip HBM (kernels/ffn.py); param tree unchanged
+                from ..kernels.ffn import fused_int8_ffn
+                from ..ops.quant import LinearParams, NormParams
+
+                g, be = NormParams(self.embed_dim, name="final_layer_norm")()
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                x = fused_int8_ffn(x, k1, b1, k2, b2, ln=(g, be), residual=True)
+            else:
+                ln_final = nn.LayerNorm(
+                    epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                    name="final_layer_norm",
+                )
+                x = x + drop(ffn(ln_final(x).astype(self.dtype)))
         else:
+            ln_final = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                                    name="final_layer_norm")
             x = ln_attn(x + drop(attn(x))).astype(self.dtype)
             x = ln_final(x + drop(ffn(x))).astype(self.dtype)
         return x

@@ -122,7 +122,7 @@ class Wav2Vec2Trunk(nn.Module):
             wavs = normalize_wavs(wavs, wav_lens)
         features = ConvFeatureExtractor(
             cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias, self.dtype,
-            name="feature_extractor",
+            quantize=self.quantize, name="feature_extractor",
         )(wavs, train=not deterministic)
         # The reference derives the feature-level padding mask by folding the
         # wav-level mask into blocks of r = T_wav // T_feat samples and

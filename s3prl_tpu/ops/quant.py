@@ -89,6 +89,36 @@ def dense(features: int, *, quantize: bool = False, dtype=jnp.float32,
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+def int8_conv1d_valid(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                      out_dtype=None) -> jnp.ndarray:
+    """Valid strided 1-D conv as per-tap W8A8 matmuls (serving path).
+
+    x [B, T, Cin], kernel [k, Cin, Cout] (nn.Conv layout). Each tap t is a
+    strided row view x[:, t::stride][:T_out] feeding one int8 GEMM; the
+    int32 accumulators are dequantized per (row, tap) and summed in f32.
+    Activation rows are quantized ONCE (per input row) and every tap slices
+    the same int8 buffer, so quantization traffic is 1x the input.
+    """
+    out_dtype = out_dtype or x.dtype
+    B, T, Cin = x.shape
+    k, _, Cout = kernel.shape
+    T_out = (T - k) // stride + 1
+    xq, xs = quantize_rows(x)  # [B, T, Cin] int8, [B, T, 1] f32
+    acc = None
+    for t in range(k):
+        tap = jax.lax.slice(xq, (0, t, 0), (B, t + stride * (T_out - 1) + 1, Cin),
+                            (1, stride, 1))
+        ts = jax.lax.slice(xs, (0, t, 0), (B, t + stride * (T_out - 1) + 1, 1),
+                           (1, stride, 1))
+        wq, ws = quantize_cols(kernel[t])
+        y = jax.lax.dot_general(
+            tap, wq, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * ts * ws
+        acc = y if acc is None else acc + y
+    return acc.astype(out_dtype)
+
+
 class LinearParams(nn.Module):
     """Registers nn.Dense-shaped params ("kernel", "bias") and returns them
     raw — for fused kernels that consume weights directly while keeping the
@@ -105,3 +135,16 @@ class LinearParams(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.out_features,),
                        self.param_dtype)
         return k, b
+
+
+class NormParams(nn.Module):
+    """nn.LayerNorm's 'scale'/'bias' params, compute handled by a fused
+    kernel (kernels/ffn.py) — param tree identical to nn.LayerNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias

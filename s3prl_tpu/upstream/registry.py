@@ -515,13 +515,20 @@ def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
     from ..models.baseline import baseline_features
     from ..models.decoar2 import Decoar2Model
 
-    model = Decoar2Model(dtype)
     if ckpt is not None:
         from .convert import load_decoar2_checkpoint
 
         params = load_decoar2_checkpoint(ckpt)
+        # size the encoder from the checkpoint (stacked scan params carry
+        # the layer count in their leading dim) rather than the default
+        n_layers = int(
+            params["encoder"]["layers"]["fc1"]["kernel"].shape[0]
+        )
+        model = Decoar2Model(dtype, num_layers=n_layers)
     else:
         logger.info("decoar2: no ckpt given — random initialization")
+        model = Decoar2Model(dtype)
+        n_layers = 12
         feats = jnp.zeros((1, 98, 80), jnp.float32)
         params = jax.jit(
             lambda k: model.init(k, feats, jnp.asarray([98]), deterministic=True)
@@ -536,7 +543,7 @@ def decoar2(ckpt=None, dtype=jnp.float32, seed=0, **kwargs) -> Upstream:
 
     return Upstream(
         name="decoar2", apply_fn=apply_fn, params=params,
-        num_layers=13, hidden_size=768, downsample_rate=160,
+        num_layers=n_layers + 1, hidden_size=768, downsample_rate=160,
     )
 
 

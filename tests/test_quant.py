@@ -78,8 +78,25 @@ def test_trunk_quantized_hidden_state_quality():
         assert _cos(hs_q[l], hs_f[l]) > 0.999, f"layer {l}"
 
 
+def test_int8_conv1d_valid_close():
+    """int8 conv matches the XLA conv at both mid-layer kernel sizes."""
+    from s3prl_tpu.ops.quant import int8_conv1d_valid
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 41, 24).astype(np.float32))
+    for k in (2, 3):
+        w = jnp.asarray(rng.randn(k, 24, 16).astype(np.float32) * 0.2)
+        ref = jax.lax.conv_general_dilated(
+            x.transpose(0, 2, 1), w.transpose(2, 1, 0), (2,), "VALID"
+        ).transpose(0, 2, 1)
+        out = int8_conv1d_valid(x, w, 2)
+        assert out.shape == ref.shape
+        assert _cos(out, ref) > 0.999, k
+
+
 def test_fused_int8_ffn_kernel_interpret():
-    """kernels/ffn.py matches the float FFN closely (interpret mode)."""
+    """kernels/ffn.py matches the float FFN closely (interpret mode),
+    with and without the folded LayerNorm/residual."""
     from s3prl_tpu.kernels.ffn import fused_int8_ffn
 
     rng = np.random.RandomState(3)
@@ -95,3 +112,68 @@ def test_fused_int8_ffn_kernel_interpret():
     assert _cos(out, ref) > 0.999
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=0.05 * float(jnp.abs(ref).max()))
+
+    # folded LN + residual (the pre-LN block's second half)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + 1e-5) * g + be
+    ref2 = x + (jax.nn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2)
+    out2 = fused_int8_ffn(x, w1, b1, w2, b2, ln=(g, be), residual=True,
+                          interpret=True)
+    assert _cos(out2, ref2) > 0.999
+
+
+def test_fused_int8_linear_kernel_interpret():
+    """fused_int8_linear matches LN -> matmul -> bias -> +residual."""
+    from s3prl_tpu.kernels.ffn import fused_int8_linear
+
+    rng = np.random.RandomState(4)
+    B, T, C, N = 2, 9, 128, 128
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.randn(C, N).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(N).astype(np.float32) * 0.01)
+    res = jnp.asarray(rng.randn(B, T, N).astype(np.float32) * 0.5)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+
+    out = fused_int8_linear(x, w, b, interpret=True)
+    assert _cos(out, x @ w + b) > 0.999
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + 1e-5) * g + be
+    out2 = fused_int8_linear(x, w, b, ln=(g, be), residual=res, interpret=True)
+    assert _cos(out2, xn @ w + b + res) > 0.999
+
+
+def test_fused_block_matches_unfused_layer(monkeypatch):
+    """The 4-kernel fused pre-LN serving block computes the same layer as
+    the float module path (cosine, CPU interpret mode)."""
+    import s3prl_tpu.models.transformer as tr
+
+    C, H, F = 64, 4, 128
+    layer = tr.EncoderLayer(
+        embed_dim=C, ffn_dim=F, num_heads=H, layer_norm_first=True,
+        dropout=0.0, attention_dropout=0.0, activation="gelu",
+        use_flash=True, quantize=True,
+    )
+    float_layer = tr.EncoderLayer(
+        embed_dim=C, ffn_dim=F, num_heads=H, layer_norm_first=True,
+        dropout=0.0, attention_dropout=0.0, activation="gelu",
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 11, C).astype(np.float32) * 0.5)
+    pad = jnp.zeros((2, 11), bool).at[1, 8:].set(True)
+
+    # identical param tree between the float and quantized modules
+    params = float_layer.init(jax.random.key(0), x, pad)["params"]
+    ref = float_layer.apply({"params": params}, x, pad)
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    out = layer.apply({"params": params}, x, pad)  # fused (interpret)
+    # padded positions diverge (the fused path masks only in attention);
+    # compare valid region
+    assert _cos(out[0], ref[0]) > 0.999
+    assert _cos(out[1, :8], ref[1, :8]) > 0.999

@@ -118,7 +118,8 @@ def bench_conv(impl="conv"):
     from s3prl_tpu.models.convfe import ConvFeatureExtractor, DEFAULT_CONV_LAYERS
 
     layers = tuple((512, k, s) for (_, k, s) in DEFAULT_CONV_LAYERS)
-    mod = ConvFeatureExtractor(layers, "layer_norm", False, DT, impl=impl)
+    mod = ConvFeatureExtractor(layers, "layer_norm", False, DT, impl=impl,
+                               quantize=os.environ.get("BENCH_QUANT", "0") == "1")
     rng = np.random.RandomState(0)
     wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
     params = jax.jit(mod.init)(jax.random.key(0), wavs)
