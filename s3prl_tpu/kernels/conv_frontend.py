@@ -42,18 +42,39 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _ln_gelu(y, scale_ref, bias_ref):
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))  # exact-GELU (A&S erf)
+
+
+def _quant_rows8(y):
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=1, keepdims=True), 1e-8) / 127.0
+    return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8), s
+
+
 def _kernel(a_ref, b_ref, w_ref, scale_ref, bias_ref, o_ref):
     patches = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # [CT, k]
     y = jax.lax.dot_general(
         patches, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, C] fp32
-    mean = jnp.mean(y, axis=1, keepdims=True)
-    var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
-    y = y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))  # exact-GELU (A&S erf)
+    y = _ln_gelu(y, scale_ref, bias_ref)
     o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _kernel_q8(a_ref, b_ref, w_ref, scale_ref, bias_ref, oq_ref, os_ref):
+    patches = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # [CT, k]
+    y = jax.lax.dot_general(
+        patches, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = _ln_gelu(y, scale_ref, bias_ref)
+    q, s = _quant_rows8(y)
+    oq_ref[0] = q
+    os_ref[0] = s
 
 
 @partial(jax.jit, static_argnames=("stride", "k", "interpret"))
@@ -95,3 +116,173 @@ def conv0_ln_gelu(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
         interpret=interpret,
     )(x5a, x5b, w, scale.reshape(1, C), bias.reshape(1, C))
     return out[:, :T_out]
+
+
+@partial(jax.jit, static_argnames=("stride", "k", "interpret"))
+def conv0_ln_gelu_q8(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
+                     interpret: bool = False):
+    """Like conv0_ln_gelu but emits (int8 rows, per-row f32 scales) for the
+    int8 conv chain — the layer-0 activation (the pipeline's largest tensor)
+    hits HBM at 1/2 the bf16 byte count."""
+    assert k == 2 * stride, (k, stride)
+    B, T = wavs.shape
+    C = kernel.shape[-1]
+    T_out = (T - k) // stride + 1
+    n_blocks = -(-T_out // CHUNK)
+    Tp_out = n_blocks * CHUNK
+
+    need = Tp_out * stride + stride
+    wav_p = jnp.pad(wavs, ((0, 0), (0, max(need - T, 0))))[:, :need]
+    x5a = wav_p[:, : Tp_out * stride].reshape(B, Tp_out, stride)
+    x5b = wav_p[:, stride : Tp_out * stride + stride].reshape(B, Tp_out, stride)
+    w = kernel.reshape(k, C).astype(wavs.dtype)
+
+    oq, os = pl.pallas_call(
+        _kernel_q8,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp_out, C), jnp.int8),
+            jax.ShapeDtypeStruct((B, Tp_out, 1), jnp.float32),
+        ),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, stride), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, stride), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CHUNK, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x5a, x5b, w, scale.reshape(1, C), bias.reshape(1, C))
+    return oq[:, :T_out], os[:, :T_out]
+
+
+MIDCHUNK = 1024  # output rows per grid cell, mid conv layers
+
+
+def _mid_kernel(p_ref, p1_ref, s_ref, s1_ref, w_ref, ws_ref, g_ref, b_ref,
+                oq_ref, os_ref, *, k, emit_q8):
+    """One int8 conv (k in {2,3}, stride 2) + LN + GELU [+ requant] block.
+
+    p_ref [1, CH, 2C]: pair-interleaved int8 rows (x[2j] | x[2j+1]);
+    p1_ref: same buffer shifted one pair-row (provides x[2j+2] for k=3);
+    s_ref/s1_ref [1, CH, 2]: the matching per-row scales; w_ref [k*C, Cout]
+    int8 per-tap weights; ws_ref [k, Cout] per-(tap, channel) scales.
+    """
+    C = w_ref.shape[0] // k
+    e = p_ref[0, :, :C]
+    o = p_ref[0, :, C:]
+    acc = (
+        jax.lax.dot_general(e, w_ref[:C, :], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+        * s_ref[0, :, 0:1] * ws_ref[0:1, :]
+    )
+    acc = acc + (
+        jax.lax.dot_general(o, w_ref[C : 2 * C, :], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+        * s_ref[0, :, 1:2] * ws_ref[1:2, :]
+    )
+    if k == 3:
+        e2 = p1_ref[0, :, :C]
+        acc = acc + (
+            jax.lax.dot_general(e2, w_ref[2 * C :, :], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32).astype(jnp.float32)
+            * s1_ref[0, :, 0:1] * ws_ref[2:3, :]
+        )
+    y = _ln_gelu(acc, g_ref, b_ref)
+    if emit_q8:
+        q, s = _quant_rows8(y)
+        oq_ref[0] = q
+        os_ref[0] = s
+    else:
+        oq_ref[0] = y.astype(oq_ref.dtype)
+        os_ref[0] = jnp.ones_like(s_ref[0, :, 0:1])
+
+
+@partial(jax.jit, static_argnames=("emit_q8", "out_dtype", "interpret"))
+def fused_int8_conv_ln_gelu(xq, xs, kernel, gamma, beta, emit_q8: bool = True,
+                            out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Stride-2 valid conv (k in {2,3}) + LayerNorm + GELU over int8 rows.
+
+    xq [B, T, C] int8 with per-row scales xs [B, T, 1] f32 (as produced by
+    conv0_ln_gelu_q8 or a previous chain layer). kernel [k, C, Cout] f32
+    (nn.Conv layout), gamma/beta [Cout] LayerNorm affine. Returns
+    (int8 rows, scales) when emit_q8 else ([B, T', Cout] out_dtype, None).
+
+    The stride-2 taps come from a FREE reshape to pair-interleaved rows
+    [B, T/2, 2C] (x[2j] | x[2j+1]); the third tap (k=3) reads the same
+    buffer shifted one pair-row. Each tap is one int8 MXU GEMM; the conv
+    output never exists in HBM at bf16 width.
+    """
+    B, T, C = xq.shape
+    k, _, Cout = kernel.shape
+    assert k in (2, 3), k
+    T_out = (T - k) // 2 + 1
+    n_blocks = -(-T_out // MIDCHUNK)
+    Tp_out = n_blocks * MIDCHUNK
+
+    # pair rows needed: out row j reads pairs j and (k==3) j+1
+    need_pairs = Tp_out + 1
+    pad_rows = need_pairs * 2 - T
+    xq_p = jnp.pad(xq, ((0, 0), (0, max(pad_rows, 0)), (0, 0)))[:, : need_pairs * 2]
+    xs_p = jnp.pad(xs, ((0, 0), (0, max(pad_rows, 0)), (0, 0)),
+                   constant_values=1.0)[:, : need_pairs * 2]
+    P = xq_p.reshape(B, need_pairs, 2 * C)
+    S = xs_p.reshape(B, need_pairs, 2)
+    P1 = P[:, 1:]
+    S1 = S[:, 1:]
+    P = P[:, :Tp_out]
+    S = S[:, :Tp_out]
+
+    wq, ws = [], []
+    for t in range(k):
+        w = kernel[t].astype(jnp.float32)  # [C, Cout]
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        wq.append(jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8))
+        ws.append(s)
+    wq = jnp.concatenate(wq, axis=0)  # [k*C, Cout]
+    ws = jnp.stack(ws, axis=0)  # [k, Cout]
+
+    oq, os = pl.pallas_call(
+        partial(_mid_kernel, k=k, emit_q8=emit_q8),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (B, Tp_out, Cout), jnp.int8 if emit_q8 else out_dtype
+            ),
+            jax.ShapeDtypeStruct((B, Tp_out, 1), jnp.float32),
+        ),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MIDCHUNK, 2), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MIDCHUNK, 2), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * C, Cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, MIDCHUNK, Cout), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MIDCHUNK, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(P, P1, S, S1, wq, ws, gamma.reshape(1, Cout).astype(jnp.float32),
+      beta.reshape(1, Cout).astype(jnp.float32))
+    if emit_q8:
+        return oq[:, :T_out], os[:, :T_out]
+    return oq[:, :T_out], None

@@ -202,6 +202,44 @@ class ConvFeatureExtractor(nn.Module):
             self.mode == "layer_norm" and not self.conv_bias and k0 == 2 * s0
             and not train
         )
+        import os
+
+        chain_int8 = (
+            fuse0 and self.quantize
+            and os.environ.get("S3PRL_INT8_CONV", "0") == "1"
+            and all(k in (2, 3) and s == 2 for _, k, s in self.conv_layers[1:])
+        )
+        if chain_int8:
+            # int8 conv chain: every inter-layer activation lives in HBM as
+            # (int8 rows + f32 row scales) with conv+LN+GELU+requant fused
+            # per layer (kernels/conv_frontend.py). MEASURED SLOWER than the
+            # XLA bf16 convs on the axon tunnel chip (47.7 vs 26.8 ms — the
+            # int8 MXU rate at K=N=512 does not beat bf16 there, and the
+            # requant VPU passes add up), so opt-in via S3PRL_INT8_CONV=1
+            # for A/B on other hardware. Serving only.
+            from ..kernels.conv_frontend import (
+                conv0_ln_gelu_q8, fused_int8_conv_ln_gelu)
+
+            interp = jax.default_backend() == "cpu"
+            kernel = _ParamOnly((k0, 1, dim0), name="conv_0")()
+            g, b = _NormParams(dim0, name="ln_0")()
+            xq, xs = conv0_ln_gelu_q8(
+                wavs.astype(self.dtype), kernel, g, b, stride=s0, k=k0,
+                interpret=interp,
+            )
+            last = len(self.conv_layers) - 1
+            for i, (dim, k, stride) in enumerate(self.conv_layers):
+                if i == 0:
+                    cin = dim
+                    continue
+                ki = _ParamOnly((k, cin, dim), name=f"conv_{i}")()
+                gi, bi = _NormParams(dim, name=f"ln_{i}")()
+                xq, xs = fused_int8_conv_ln_gelu(
+                    xq, xs, ki, gi, bi, emit_q8=(i != last),
+                    out_dtype=self.dtype, interpret=interp,
+                )
+                cin = dim
+            return xq
         if fuse0:
             # fused conv0+LN+GELU Pallas kernel: the layer-0 output is the
             # biggest tensor of the pipeline and XLA's lowering round-trips

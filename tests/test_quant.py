@@ -148,6 +148,30 @@ def test_fused_int8_linear_kernel_interpret():
     assert _cos(out2, xn @ w + b + res) > 0.999
 
 
+def test_int8_conv_chain_matches_float_extractor(monkeypatch):
+    """layer_norm-mode extractor with quantize=True + S3PRL_INT8_CONV=1
+    routes through the int8 conv chain and matches the float path."""
+    monkeypatch.setenv("S3PRL_INT8_CONV", "1")
+    from s3prl_tpu.models.convfe import ConvFeatureExtractor
+
+    layers = ((64, 10, 5), (64, 3, 2), (96, 3, 2), (64, 2, 2))
+    rng = np.random.RandomState(6)
+    wavs = jnp.asarray(rng.randn(2, 3200).astype(np.float32))
+
+    ref_mod = ConvFeatureExtractor(layers, "layer_norm", False, jnp.float32)
+    params = jax.jit(ref_mod.init)(jax.random.key(0), wavs)
+    ref = ref_mod.apply(params, wavs)
+    q_mod = ConvFeatureExtractor(layers, "layer_norm", False, jnp.float32,
+                                 quantize=True)
+    out = q_mod.apply(params, wavs)  # same param tree
+    assert out.shape == ref.shape
+    assert _cos(out, ref) > 0.999
+    # training path must NOT take the (non-differentiable) chain
+    out_tr = q_mod.apply(params, wavs, train=True,
+                         rngs={"dropout": jax.random.key(1)})
+    assert _cos(out_tr, ref) > 0.9999
+
+
 def test_fused_block_matches_unfused_layer(monkeypatch):
     """The 4-kernel fused pre-LN serving block computes the same layer as
     the float module path (cosine, CPU interpret mode)."""
