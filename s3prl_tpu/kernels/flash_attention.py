@@ -225,6 +225,113 @@ def fused_qkv_attention(qkv, kv_lens, num_heads: int, interpret: bool = False):
     return _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=interpret)
 
 
+def _fused_qkv_outproj_kernel(q_ref, k_ref, v_ref, r_ref, wo_ref, wos_ref,
+                              bo_ref, kvlen_ref, o_ref, *, num_heads: int,
+                              scale: float):
+    """fused_qkv attention cell + int8 W8A8 output projection + residual.
+
+    Extends _fused_qkv_kernel: the per-head attention outputs accumulate in
+    VMEM ([BQ, C] f32), are row-quantized, hit the MXU against the int8
+    out-proj weight, and the residual rides in — the raw attention output
+    never exists in HBM (saves a [B, T, C] round trip per layer plus the
+    separate quant/dequant passes of the XLA out-proj).
+    """
+    BQ = q_ref.shape[0]
+    T = k_ref.shape[0]
+    C = o_ref.shape[1]
+    Dh = C // num_heads
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
+    penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    heads = []
+    for h in range(num_heads):
+        q = q_ref[:, h * Dh : (h + 1) * Dh]
+        k = k_ref[:, h * Dh : (h + 1) * Dh]
+        v = v_ref[:, h * Dh : (h + 1) * Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + penalty
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    attn = jnp.concatenate(heads, axis=1)  # [BQ, C] f32
+    s = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
+    a8 = jnp.clip(jnp.round(attn / s), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        a8, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * s * wos_ref[0, :] + bo_ref[0, :] + r_ref[:, :].astype(jnp.float32)
+    o_ref[:, :] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_qkv_attention_outproj_call(qkv, residual, wo_q, wo_s, bo, kv_lens,
+                                      num_heads, interpret=False):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    # 512-row query blocks measured fastest at the serving protocol
+    # (B=32, T=499); the extra residual/int8-weight buffers push a 512-row
+    # cell past the 16 MB scoped-VMEM limit at larger batches, so fall back
+    # to 256 rows there
+    BQ = 512 if (T <= 512 and B <= 32) else 256
+    Tp = -(-T // BQ) * BQ
+    qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
+    resp = jnp.pad(residual, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else residual
+    out = pl.pallas_call(
+        partial(_fused_qkv_outproj_kernel, num_heads=num_heads, scale=Dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), qkv.dtype),
+        grid=(B, Tp // BQ),
+        in_specs=[
+            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkvp, qkvp, qkvp, resp, wo_q, wo_s.reshape(1, C),
+      bo.reshape(1, C).astype(jnp.float32), kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :T]
+
+
+def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
+                                num_heads: int, interpret: bool = False):
+    """residual + out_proj(MHA(qkv)) in one kernel (int8 W8A8 out-proj).
+
+    qkv [B, T, 3C] (unscaled fused projection), residual [B, T, C] (the
+    pre-attention x), wo [C, C] / bo [C] in checkpoint dtype. Forward-only
+    serving path; falls back to the unfused pair beyond the VMEM budget.
+    """
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    if T > MAX_KERNEL_T:
+        from ..ops.quant import int8_matmul
+
+        out = fused_qkv_attention(qkv, kv_lens, num_heads, interpret=interpret)
+        return residual + int8_matmul(out, wo, bo, out_dtype=residual.dtype)
+    wo_s = jnp.maximum(jnp.max(jnp.abs(wo.astype(jnp.float32)), axis=0), 1e-8) / 127.0
+    wo_q = jnp.clip(jnp.round(wo.astype(jnp.float32) / wo_s), -127, 127).astype(jnp.int8)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _fused_qkv_attention_outproj_call(
+        qkv, residual, wo_q, wo_s, bo, kv_lens, num_heads, interpret=interpret
+    )
+
+
 def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)

@@ -106,6 +106,7 @@ class SelfAttention(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = PAD
         attn_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        rel_bias: Optional[tuple] = None,  # (pos_bias [H,T,T], gate [B,H,T])
     ) -> jnp.ndarray:
         from ..ops.quant import dense
 
@@ -114,16 +115,33 @@ class SelfAttention(nn.Module):
         Dh = C // H
         qkv = dense(3 * C, quantize=self.quantize, dtype=self.dtype,
                     name="qkv")(x)  # one MXU matmul
-        if self.use_flash and attn_bias is None:
+        kv_lens = (
+            (~key_padding_mask).sum(-1).astype(jnp.int32)
+            if key_padding_mask is not None
+            else jnp.full((B,), T, jnp.int32)
+        )
+        if self.use_flash and rel_bias is not None and attn_bias is None:
+            # WavLM's gated rel-pos bias: the [T, T] gated-bias tensors stay
+            # in VMEM (kernels/flash_attention.py gated_bias_attention)
+            from ..kernels.flash_attention import gated_bias_attention
+
+            pos_bias, gate = rel_bias
+            qkv_h = qkv.reshape(B, T, 3, H, Dh).transpose(0, 3, 2, 1, 4)
+            q = qkv_h[:, :, 0] * (Dh ** -0.5)  # [B, H, T, Dh]
+            out = gated_bias_attention(
+                q, qkv_h[:, :, 1], qkv_h[:, :, 2],
+                pos_bias.astype(jnp.float32), gate.astype(jnp.float32),
+                kv_lens,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        elif self.use_flash and attn_bias is None and rel_bias is None:
             from ..kernels.flash_attention import fused_qkv_attention
 
-            kv_lens = (
-                (~key_padding_mask).sum(-1).astype(jnp.int32)
-                if key_padding_mask is not None
-                else jnp.full((B,), T, jnp.int32)
-            )
             out = fused_qkv_attention(qkv, kv_lens, H)
         else:
+            if rel_bias is not None and attn_bias is None:
+                pos_bias, gate = rel_bias
+                attn_bias = gate[..., None] * pos_bias[None]
             # heads-last path: pure reshapes of the qkv buffer, the head axis
             # rides as an einsum batch dim (see ops/attention.py attention_bthd)
             from ..ops.attention import attention_bthd
@@ -265,7 +283,26 @@ class EncoderLayer(nn.Module):
                          dtype=self.dtype, name="fc2")(h)
 
         if self.layer_norm_first:
-            x = x + drop(attn(ln_attn(x).astype(self.dtype)))
+            if quant_serving and self.use_flash and attn_bias is None:
+                # attention + int8 out-proj + residual in one kernel: the
+                # raw attention output never round-trips HBM
+                from ..kernels.flash_attention import fused_qkv_attention_outproj
+                from ..ops.quant import int8_matmul
+
+                (kq, bq), (ko, bo) = _AttnProjParams(
+                    self.embed_dim, name="self_attn")()
+                h = ln_attn(x).astype(self.dtype)
+                qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
+                B, T, _ = x.shape
+                kv_lens = (
+                    (~key_padding_mask).sum(-1).astype(jnp.int32)
+                    if key_padding_mask is not None
+                    else jnp.full((B,), T, jnp.int32)
+                )
+                x = fused_qkv_attention_outproj(
+                    qkv, x, ko, bo, kv_lens, self.num_heads)
+            else:
+                x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving and self.layer_norm_eps == 1e-5:
                 # final_layer_norm + FFN + residual in one kernel pass —
                 # the LN read-modify-write and the residual add never

@@ -97,6 +97,8 @@ class GatedRelPosLayer(nn.Module):
     attention_dropout: float = 0.1
     activation: str = "gelu"
     gru_rel_pos: bool = True
+    use_flash: bool = False  # Pallas gated-bias attention (forward-only)
+    quantize: bool = False  # int8 W8A8 projections (serving)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,44 +109,77 @@ class GatedRelPosLayer(nn.Module):
         position_bias: Optional[jnp.ndarray],  # [H, T, T] shared across layers
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        from .transformer import _fused_block_available
+
         B, T, C = x.shape
         H = self.num_heads
         Dh = C // H
 
-        def gated_bias(h):
-            if position_bias is None:
-                return None
-            bias = position_bias[None]  # [1, H, T, T]
-            if not self.gru_rel_pos:
-                return bias
-            # gate input is the layer's raw input split by heads (NOT the q
-            # projection) — reference: modules.py:536-546
+        def gate_of(h):
+            """Per-(head, query) bias gate (reference: modules.py:536-546).
+            Gate input is the layer's raw input split by heads (NOT the q
+            projection)."""
             q_heads = h.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             g = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q_heads)
             g = jax.nn.sigmoid(g.reshape(B, H, T, 2, 4).sum(-1))  # [B,H,T,2]
             gate_a, gate_b = g[..., 0:1], g[..., 1:2]  # [B,H,T,1]
             grep_a = self.param("grep_a", nn.initializers.ones, (1, H, 1, 1), jnp.float32)
             gate = gate_a * (gate_b * grep_a.astype(g.dtype) - 1.0) + 2.0
-            return gate * bias  # [B, H, T, T]
+            return gate[..., 0]  # [B, H, T]
 
-        attn = lambda h: SelfAttention(
-            self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
-            name="self_attn",
-        )(h, key_padding_mask, gated_bias(h), deterministic)
+        def attn(h):
+            mod = SelfAttention(
+                self.embed_dim, self.num_heads, self.attention_dropout,
+                self.dtype, use_flash=self.use_flash, quantize=self.quantize,
+                name="self_attn",
+            )
+            if position_bias is None:
+                return mod(h, key_padding_mask, None, deterministic)
+            if self.gru_rel_pos:
+                return mod(h, key_padding_mask, None, deterministic,
+                           rel_bias=(position_bias, gate_of(h)))
+            return mod(h, key_padding_mask, position_bias[None], deterministic)
+
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
-        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+        quant_serving = (
+            self.quantize and deterministic and self.activation == "gelu"
+            and _fused_block_available()
+        )
 
         def ffn(h):
-            h = nn.gelu(nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h), approximate=False)
+            from ..ops.quant import dense
+
+            if quant_serving:
+                from ..kernels.ffn import fused_int8_ffn
+                from ..ops.quant import LinearParams
+
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                return fused_int8_ffn(h, k1, b1, k2, b2)
+            h = nn.gelu(dense(self.ffn_dim, quantize=self.quantize,
+                              dtype=self.dtype, name="fc1")(h), approximate=False)
             h = drop_act(h)
-            return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+            return dense(self.embed_dim, quantize=self.quantize,
+                         dtype=self.dtype, name="fc2")(h)
 
         if self.layer_norm_first:
             x = x + drop(attn(ln_attn(x).astype(self.dtype)))
-            x = x + drop(ffn(ln_final(x).astype(self.dtype)))
+            if quant_serving:
+                from ..kernels.ffn import fused_int8_ffn
+                from ..ops.quant import LinearParams, NormParams
+
+                g, be = NormParams(self.embed_dim, name="final_layer_norm")()
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                x = fused_int8_ffn(x, k1, b1, k2, b2, ln=(g, be), residual=True)
+            else:
+                ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                        name="final_layer_norm")
+                x = x + drop(ffn(ln_final(x).astype(self.dtype)))
         else:
+            ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
             x = ln_attn(x + drop(attn(x))).astype(self.dtype)
             x = ln_final(x + drop(ffn(x))).astype(self.dtype)
         return x
@@ -160,6 +195,8 @@ class WavLMModel(nn.Module):
     cfg: WavLMConfig = WAVLM_BASE
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False  # Pallas gated-bias attention (serving)
+    quantize: bool = False  # int8 W8A8 projections (serving)
 
     @nn.compact
     def __call__(
@@ -234,7 +271,8 @@ class WavLMModel(nn.Module):
             cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim,
             cfg.encoder_attention_heads, cfg.layer_norm_first,
             cfg.dropout, cfg.activation_dropout, cfg.attention_dropout,
-            cfg.activation_fn, cfg.gru_rel_pos, self.dtype, name="layers",
+            cfg.activation_fn, cfg.gru_rel_pos, use_flash=self.use_flash,
+            quantize=self.quantize, dtype=self.dtype, name="layers",
         )
         x, layer_inputs = scan(layer, x, None)
         if cfg.layer_norm_first:

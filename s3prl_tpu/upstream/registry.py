@@ -200,17 +200,20 @@ def hubert_large(**kwargs) -> Upstream:
 # ---------------------------------------------------------------------------
 
 
-def _wavlm_upstream(name, default_cfg, ckpt=None, dtype=jnp.float32, seed=0, remat=False):
+def _wavlm_upstream(name, default_cfg, ckpt=None, dtype=jnp.float32, seed=0,
+                    remat=False, flash=False, quantize=False):
     from ..models.wavlm import WavLMModel
 
     if ckpt is not None:
         from .convert import load_wavlm_checkpoint
 
         cfg, params = load_wavlm_checkpoint(ckpt)
-        model = WavLMModel(cfg, dtype=dtype, remat=remat)
+        model = WavLMModel(cfg, dtype=dtype, remat=remat, use_flash=flash,
+                           quantize=quantize)
     else:
         cfg = default_cfg
-        model = WavLMModel(cfg, dtype=dtype, remat=remat)
+        model = WavLMModel(cfg, dtype=dtype, remat=remat, use_flash=flash,
+                           quantize=quantize)
         logger.info(f"{name}: no ckpt given — random initialization")
         probe = jnp.zeros((1, 16000), jnp.float32)
         # jit the init: eager init dispatches thousands of tiny ops, which is

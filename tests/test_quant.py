@@ -172,6 +172,32 @@ def test_int8_conv_chain_matches_float_extractor(monkeypatch):
     assert _cos(out_tr, ref) > 0.9999
 
 
+def test_wavlm_serving_path_matches_float():
+    """WavLM with use_flash (gated-bias Pallas attention) + quantize matches
+    the float XLA path per hidden state."""
+    from s3prl_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = WavLMConfig(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+        num_buckets=32, max_distance=64,
+    )
+    wavs = jnp.asarray(np.random.RandomState(7).randn(2, 8000).astype(np.float32))
+    lens = jnp.asarray([8000, 6000])
+    m = WavLMModel(cfg)
+    params = jax.jit(
+        lambda k: m.init(k, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+    hs, _ = m.apply({"params": params}, wavs, lens, deterministic=True)
+    mq = WavLMModel(cfg, use_flash=True, quantize=True)
+    hs_q, _ = mq.apply({"params": params}, wavs, lens, deterministic=True)
+    assert hs_q.shape == hs.shape
+    for l in range(hs.shape[0]):
+        assert _cos(hs_q[l], hs[l]) > 0.999, f"layer {l}"
+
+
 def test_fused_block_matches_unfused_layer(monkeypatch):
     """The 4-kernel fused pre-LN serving block computes the same layer as
     the float module path (cosine, CPU interpret mode)."""
