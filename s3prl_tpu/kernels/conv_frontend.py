@@ -206,6 +206,74 @@ def _mid_kernel(p_ref, p1_ref, s_ref, s1_ref, w_ref, ws_ref, g_ref, b_ref,
         os_ref[0] = jnp.ones_like(s_ref[0, :, 0:1])
 
 
+def _mid_kernel_bf16(p_ref, p1_ref, w_ref, g_ref, b_ref, o_ref, *, k):
+    """bf16 twin of _mid_kernel: conv (pair-interleaved taps) + LN + GELU
+    in one pass, no quantization."""
+    C = w_ref.shape[0] // k
+    acc = jax.lax.dot_general(
+        p_ref[0, :, :C], w_ref[:C, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + jax.lax.dot_general(
+        p_ref[0, :, C:], w_ref[C : 2 * C, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if k == 3:
+        acc = acc + jax.lax.dot_general(
+            p1_ref[0, :, :C], w_ref[2 * C :, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = _ln_gelu(acc, g_ref, b_ref).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False):
+    """Stride-2 valid conv (k in {2,3}) + LayerNorm + GELU, bf16 I/O.
+
+    x [B, T, C], kernel [k, C, Cout] (nn.Conv layout), gamma/beta [Cout].
+    Same pair-interleaving trick as the int8 chain, without requantization:
+    one read of x, one write of the activated output.
+    """
+    B, T, C = x.shape
+    k, _, Cout = kernel.shape
+    assert k in (2, 3), k
+    T_out = (T - k) // 2 + 1
+    n_blocks = -(-T_out // MIDCHUNK)
+    Tp_out = n_blocks * MIDCHUNK
+
+    need_pairs = Tp_out + 1
+    pad_rows = need_pairs * 2 - T
+    x_p = jnp.pad(x, ((0, 0), (0, max(pad_rows, 0)), (0, 0)))[:, : need_pairs * 2]
+    P = x_p.reshape(B, need_pairs, 2 * C)
+    P1 = P[:, 1:]
+    P = P[:, :Tp_out]
+
+    w = kernel.astype(x.dtype).transpose(0, 1, 2).reshape(k * C, Cout)
+
+    out, = pl.pallas_call(
+        partial(_mid_kernel_bf16, k=k),
+        out_shape=(jax.ShapeDtypeStruct((B, Tp_out, Cout), x.dtype),),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * C, Cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, MIDCHUNK, Cout), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(P, P1, w, gamma.reshape(1, Cout).astype(jnp.float32),
+      beta.reshape(1, Cout).astype(jnp.float32))
+    return out[:, :T_out]
+
+
 @partial(jax.jit, static_argnames=("emit_q8", "out_dtype", "interpret"))
 def fused_int8_conv_ln_gelu(xq, xs, kernel, gamma, beta, emit_q8: bool = True,
                             out_dtype=jnp.bfloat16, interpret: bool = False):

@@ -89,7 +89,10 @@ def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=Fal
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, BQ, T), lambda b, h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, BQ), lambda b, h, i: (b, h, i),
+            # gate rides as [B, H, T, 1]: a squeezed rank-1 block fails the
+            # Mosaic (8, 128)-tile check; the trailing singleton keeps the
+            # block 2-D with a dimension equal to the array's
+            pl.BlockSpec((None, None, BQ, 1), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B,1], whole array
         ],
@@ -101,7 +104,7 @@ def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=Fal
         k,
         v,
         biasp,
-        gatep,
+        gatep[..., None],
         kv_lens.reshape(B, 1).astype(jnp.int32),
     )
     return out[:, :, :T]

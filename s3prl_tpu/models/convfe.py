@@ -204,11 +204,38 @@ class ConvFeatureExtractor(nn.Module):
         )
         import os
 
+        chainable = all(k in (2, 3) and s == 2 for _, k, s in self.conv_layers[1:])
         chain_int8 = (
             fuse0 and self.quantize
             and os.environ.get("S3PRL_INT8_CONV", "0") == "1"
-            and all(k in (2, 3) and s == 2 for _, k, s in self.conv_layers[1:])
+            and chainable
         )
+        chain_bf16 = (
+            fuse0 and chainable and not chain_int8
+            and os.environ.get("S3PRL_FUSED_CONV", "0") == "1"
+        )
+        if chain_bf16:
+            # bf16 fused mid layers (conv+LN+GELU one pass) — A/B via
+            # S3PRL_FUSED_CONV=1. MEASURED SLOWER than XLA's conv lowering
+            # on the tunnel chip (58.0 vs 26.8 ms front end): the per-tap
+            # [CH,512]x[512,512] GEMMs underutilize the MXU vs XLA's
+            # multi-level conv tiling. Kept for A/B on other hardware.
+            from ..kernels.conv_frontend import conv0_ln_gelu, fused_conv_ln_gelu
+
+            interp = jax.default_backend() == "cpu"
+            kernel = _ParamOnly((k0, 1, dim0), name="conv_0")()
+            g, b = _NormParams(dim0, name="ln_0")()
+            x = conv0_ln_gelu(wavs.astype(self.dtype), kernel, g, b,
+                              stride=s0, k=k0, interpret=interp)
+            cin = dim0
+            for i, (dim, k, stride) in enumerate(self.conv_layers):
+                if i == 0:
+                    continue
+                ki = _ParamOnly((k, cin, dim), name=f"conv_{i}")()
+                gi, bi = _NormParams(dim, name=f"ln_{i}")()
+                x = fused_conv_ln_gelu(x, ki, gi, bi, interpret=interp)
+                cin = dim
+            return x
         if chain_int8:
             # int8 conv chain: every inter-layer activation lives in HBM as
             # (int8 rows + f32 row scales) with conv+LN+GELU+requant fused

@@ -100,3 +100,23 @@ def test_fused_qkv_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
     )
+
+
+def test_bf16_fused_conv_chain_matches_unfused(monkeypatch):
+    """S3PRL_FUSED_CONV=1 routes layer_norm-mode extraction through the
+    pair-interleaved fused conv+LN+GELU kernels; output matches the XLA
+    path (train=True keeps the differentiable unfused path)."""
+    monkeypatch.setenv("S3PRL_FUSED_CONV", "1")
+    from s3prl_tpu.models.convfe import ConvFeatureExtractor
+
+    layers = ((64, 10, 5), (64, 3, 2), (96, 3, 2), (64, 2, 2))
+    rng = np.random.RandomState(8)
+    wavs = jnp.asarray(rng.randn(2, 3200).astype(np.float32))
+    mod = ConvFeatureExtractor(layers, "layer_norm", False, jnp.float32)
+    params = jax.jit(mod.init)(jax.random.key(0), wavs)
+    unfused = mod.apply(params, wavs, train=True,
+                        rngs={"dropout": jax.random.key(1)})
+    fused = mod.apply(params, wavs)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), atol=1e-4
+    )
