@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .conv_frontend import _erf
 
-BQ = 256  # rows per grid cell (FFN kernel)
+BQ = int(__import__("os").environ.get("S3PRL_BQF", "256"))  # rows per grid cell (FFN kernel)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
 CHUNK = 1024  # FFN columns per in-kernel chunk
 
