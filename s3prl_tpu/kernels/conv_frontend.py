@@ -51,6 +51,8 @@ def _ln_gelu(y, scale_ref, bias_ref):
 
 
 def _quant_rows8(y):
+    """In-kernel symmetric per-row int8 (f32 in): the single in-VMEM twin of
+    ops/quant.quantize_rows, shared by the conv chain and ffn kernels."""
     s = jnp.maximum(jnp.max(jnp.abs(y), axis=1, keepdims=True), 1e-8) / 127.0
     return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8), s
 
@@ -77,6 +79,23 @@ def _kernel_q8(a_ref, b_ref, w_ref, scale_ref, bias_ref, oq_ref, os_ref):
     os_ref[0] = s
 
 
+def _conv0_phase_views(wavs, kernel, stride, k):
+    """Shared conv0 prologue: pad + two stride-phase views of the wav
+    (non-overlapping block specs) + flattened weight."""
+    assert k == 2 * stride, (k, stride)
+    B, T = wavs.shape
+    C = kernel.shape[-1]
+    T_out = (T - k) // stride + 1
+    n_blocks = -(-T_out // CHUNK)
+    Tp_out = n_blocks * CHUNK
+    need = Tp_out * stride + stride  # phase views need one extra stride group
+    wav_p = jnp.pad(wavs, ((0, 0), (0, max(need - T, 0))))[:, :need]
+    x5a = wav_p[:, : Tp_out * stride].reshape(B, Tp_out, stride)
+    x5b = wav_p[:, stride : Tp_out * stride + stride].reshape(B, Tp_out, stride)
+    w = kernel.reshape(k, C).astype(wavs.dtype)
+    return x5a, x5b, w, B, C, T_out, n_blocks, Tp_out
+
+
 @partial(jax.jit, static_argnames=("stride", "k", "interpret"))
 def conv0_ln_gelu(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
                   interpret: bool = False):
@@ -85,18 +104,8 @@ def conv0_ln_gelu(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
     kernel [k, 1, C] (nn.Conv layout), scale/bias [C] (nn.LayerNorm params).
     Requires k == 2*stride (the wav2vec2 front end's 10/5).
     """
-    assert k == 2 * stride, (k, stride)
-    B, T = wavs.shape
-    C = kernel.shape[-1]
-    T_out = (T - k) // stride + 1
-    n_blocks = -(-T_out // CHUNK)
-    Tp_out = n_blocks * CHUNK
-
-    need = Tp_out * stride + stride  # phase views need one extra stride group
-    wav_p = jnp.pad(wavs, ((0, 0), (0, max(need - T, 0))))[:, :need]
-    x5a = wav_p[:, : Tp_out * stride].reshape(B, Tp_out, stride)
-    x5b = wav_p[:, stride : Tp_out * stride + stride].reshape(B, Tp_out, stride)
-    w = kernel.reshape(k, C).astype(wavs.dtype)
+    x5a, x5b, w, B, C, T_out, n_blocks, Tp_out = _conv0_phase_views(
+        wavs, kernel, stride, k)
 
     out = pl.pallas_call(
         _kernel,
@@ -124,18 +133,8 @@ def conv0_ln_gelu_q8(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
     """Like conv0_ln_gelu but emits (int8 rows, per-row f32 scales) for the
     int8 conv chain — the layer-0 activation (the pipeline's largest tensor)
     hits HBM at 1/2 the bf16 byte count."""
-    assert k == 2 * stride, (k, stride)
-    B, T = wavs.shape
-    C = kernel.shape[-1]
-    T_out = (T - k) // stride + 1
-    n_blocks = -(-T_out // CHUNK)
-    Tp_out = n_blocks * CHUNK
-
-    need = Tp_out * stride + stride
-    wav_p = jnp.pad(wavs, ((0, 0), (0, max(need - T, 0))))[:, :need]
-    x5a = wav_p[:, : Tp_out * stride].reshape(B, Tp_out, stride)
-    x5b = wav_p[:, stride : Tp_out * stride + stride].reshape(B, Tp_out, stride)
-    w = kernel.reshape(k, C).astype(wavs.dtype)
+    x5a, x5b, w, B, C, T_out, n_blocks, Tp_out = _conv0_phase_views(
+        wavs, kernel, stride, k)
 
     oq, os = pl.pallas_call(
         _kernel_q8,
@@ -245,11 +244,20 @@ def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False):
     pad_rows = need_pairs * 2 - T
     x_p = jnp.pad(x, ((0, 0), (0, max(pad_rows, 0)), (0, 0)))[:, : need_pairs * 2]
     P = x_p.reshape(B, need_pairs, 2 * C)
-    P1 = P[:, 1:]
+    # the shifted pair rows feed only the k=3 third tap; for k=2 a 1-row
+    # degenerate block avoids streaming an unused [MIDCHUNK, 2C] copy
+    P1 = P[:, 1:] if k == 3 else P[:, :1]
     P = P[:, :Tp_out]
 
-    w = kernel.astype(x.dtype).transpose(0, 1, 2).reshape(k * C, Cout)
+    w = kernel.astype(x.dtype).reshape(k * C, Cout)
 
+    p1_spec = (
+        pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+        if k == 3
+        else pl.BlockSpec((1, 1, 2 * C), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
     out, = pl.pallas_call(
         partial(_mid_kernel_bf16, k=k),
         out_shape=(jax.ShapeDtypeStruct((B, Tp_out, Cout), x.dtype),),
@@ -257,8 +265,7 @@ def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            p1_spec,
             pl.BlockSpec((k * C, Cout), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
@@ -304,17 +311,19 @@ def fused_int8_conv_ln_gelu(xq, xs, kernel, gamma, beta, emit_q8: bool = True,
                    constant_values=1.0)[:, : need_pairs * 2]
     P = xq_p.reshape(B, need_pairs, 2 * C)
     S = xs_p.reshape(B, need_pairs, 2)
-    P1 = P[:, 1:]
-    S1 = S[:, 1:]
+    # shifted pairs feed only the k=3 third tap (degenerate 1-row for k=2)
+    P1 = P[:, 1:] if k == 3 else P[:, :1]
+    S1 = S[:, 1:] if k == 3 else S[:, :1]
     P = P[:, :Tp_out]
     S = S[:, :Tp_out]
 
+    from ..ops.quant import quantize_cols
+
     wq, ws = [], []
     for t in range(k):
-        w = kernel[t].astype(jnp.float32)  # [C, Cout]
-        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
-        wq.append(jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8))
-        ws.append(s)
+        q, sc = quantize_cols(kernel[t])  # per-(tap, out-channel) scheme
+        wq.append(q)
+        ws.append(sc)
     wq = jnp.concatenate(wq, axis=0)  # [k*C, Cout]
     ws = jnp.stack(ws, axis=0)  # [k, Cout]
 
@@ -330,12 +339,22 @@ def fused_int8_conv_ln_gelu(xq, xs, kernel, gamma, beta, emit_q8: bool = True,
         in_specs=[
             pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((1, MIDCHUNK, 2 * C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+                if k == 3
+                else pl.BlockSpec((1, 1, 2 * C), lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((1, MIDCHUNK, 2), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MIDCHUNK, 2), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((1, MIDCHUNK, 2), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+                if k == 3
+                else pl.BlockSpec((1, 1, 2), lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((k * C, Cout), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

@@ -41,17 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_frontend import _erf
+from .conv_frontend import _erf, _quant_rows8 as _quant_rows
 
 BQ = int(__import__("os").environ.get("S3PRL_BQF", "256"))  # rows per grid cell (FFN kernel)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
 CHUNK = 1024  # FFN columns per in-kernel chunk
-
-
-def _quant_rows(x):
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-    return q, s
 
 
 def _layernorm(x, scale, bias, eps=1e-5):
@@ -60,17 +54,27 @@ def _layernorm(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _ffn_chunk_bounds(ffn: int):
+    """Chunk boundaries covering ALL of the FFN dim (the last chunk may be
+    shorter); every boundary stays lane-aligned for ffn % 128 == 0."""
+    bounds = []
+    start = 0
+    while start < ffn:
+        end = min(start + CHUNK, ffn)
+        bounds.append((start, end))
+        start = end
+    return tuple(bounds)
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
-                ln_ref, o_ref, *, chunks, ln, residual):
+                ln_ref, o_ref, *, bounds, ln, residual):
     x_in = x_ref[:, :].astype(jnp.float32)
     x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
     x8, xs = _quant_rows(x)
     C_out = o_ref.shape[1]
     acc = jnp.zeros((x.shape[0], C_out), jnp.float32)
-    ffn = w1_ref.shape[1]
-    ch = ffn // chunks
-    for c in range(chunks):
-        sl = slice(c * ch, (c + 1) * ch)
+    for lo, hi in bounds:
+        sl = slice(lo, hi)
         h = jax.lax.dot_general(
             x8, w1_ref[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -98,12 +102,13 @@ def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
     x2 = x.reshape(rows, C)
     if Rp != rows:
         x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0)))
-    chunks = max(FFN // CHUNK, 1)
+    assert FFN % 128 == 0, FFN  # lane-aligned chunk boundaries
+    bounds = _ffn_chunk_bounds(FFN)
     ln = ln2 is not None
     if not ln:
         ln2 = jnp.zeros((2, C), jnp.float32)
     out = pl.pallas_call(
-        partial(_ffn_kernel, chunks=chunks, ln=ln, residual=residual),
+        partial(_ffn_kernel, bounds=bounds, ln=ln, residual=residual),
         out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
         grid=(Rp // BQ,),
         in_specs=[
@@ -127,9 +132,9 @@ def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
 
 
 def _quant_cols_np(w):
-    ws = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0), 1e-8) / 127.0
-    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / ws), -127, 127).astype(jnp.int8)
-    return wq, ws
+    from ..ops.quant import quantize_cols  # single source of the scheme
+
+    return quantize_cols(w)
 
 
 def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,

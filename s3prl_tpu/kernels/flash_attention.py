@@ -322,13 +322,12 @@ def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
     """
     B, T, C3 = qkv.shape
     C = C3 // 3
-    if T > MAX_KERNEL_T:
-        from ..ops.quant import int8_matmul
+    from ..ops.quant import int8_matmul, quantize_cols
 
+    if T > MAX_KERNEL_T:
         out = fused_qkv_attention(qkv, kv_lens, num_heads, interpret=interpret)
         return residual + int8_matmul(out, wo, bo, out_dtype=residual.dtype)
-    wo_s = jnp.maximum(jnp.max(jnp.abs(wo.astype(jnp.float32)), axis=0), 1e-8) / 127.0
-    wo_q = jnp.clip(jnp.round(wo.astype(jnp.float32) / wo_s), -127, 127).astype(jnp.int8)
+    wo_q, wo_s = quantize_cols(wo)
     interpret = interpret or jax.default_backend() == "cpu"
     return _fused_qkv_attention_outproj_call(
         qkv, residual, wo_q, wo_s, bo, kv_lens, num_heads, interpret=interpret

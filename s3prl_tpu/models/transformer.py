@@ -248,7 +248,8 @@ class EncoderLayer(nn.Module):
         )
         if (
             quant_serving and self.layer_norm_first and self.use_flash
-            and attn_bias is None and _full_fuse_enabled()
+            and attn_bias is None and self.layer_norm_eps == 1e-5
+            and _full_fuse_enabled()
         ):
             # whole pre-LN block as 4 fused kernels (LN+QKV, attention,
             # out-proj+residual, LN+FFN+residual). Param tree is identical

@@ -125,6 +125,26 @@ def test_fused_int8_ffn_kernel_interpret():
     assert _cos(out2, ref2) > 0.999
 
 
+def test_fused_int8_ffn_nondivisible_chunks():
+    """FFN dims not divisible by the in-kernel CHUNK must still cover every
+    column (regression: the last partial chunk used to be dropped)."""
+    from s3prl_tpu.kernels.ffn import CHUNK, fused_int8_ffn
+
+    rng = np.random.RandomState(9)
+    B, T, C = 1, 5, 128
+    F = CHUNK + 128  # one full chunk + a partial one
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.randn(C, F).astype(np.float32) * 0.05)
+    b1 = jnp.zeros((F,))
+    w2 = jnp.asarray(rng.randn(F, C).astype(np.float32) * 0.05)
+    b2 = jnp.zeros((C,))
+    # dropping the 128-column tail would cap the cosine near
+    # sqrt(1024/1152) ~ 0.94; quantization alone stays >0.999
+    ref = jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+    out = fused_int8_ffn(x, w1, b1, w2, b2, interpret=True)
+    assert _cos(out, ref) > 0.999
+
+
 def test_fused_int8_linear_kernel_interpret():
     """fused_int8_linear matches LN -> matmul -> bias -> +residual."""
     from s3prl_tpu.kernels.ffn import fused_int8_linear
@@ -172,10 +192,14 @@ def test_int8_conv_chain_matches_float_extractor(monkeypatch):
     assert _cos(out_tr, ref) > 0.9999
 
 
-def test_wavlm_serving_path_matches_float():
+def test_wavlm_serving_path_matches_float(monkeypatch):
     """WavLM with use_flash (gated-bias Pallas attention) + quantize matches
-    the float XLA path per hidden state."""
+    the float XLA path per hidden state — including the fused-FFN
+    quant_serving branch (forced available, kernels interpret on CPU)."""
+    import s3prl_tpu.models.transformer as tr
     from s3prl_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
 
     cfg = WavLMConfig(
         conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
