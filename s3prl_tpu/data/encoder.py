@@ -307,13 +307,16 @@ class BertTokenizer:
     def pad_idx(self) -> int:
         return 0
 
+    # the reference repurposes the two wordpieces right before the window
+    # (raw ids 998/999 -> shifted 1/2) as <eos>/<unk> and inherits the base
+    # Tokenizer's fixed indices (tokenizer.py:68-77, comment at 16)
     @property
     def unk_idx(self) -> int:
-        return (self._tokenizer.convert_tokens_to_ids("[UNK]") or 100) - BERT_FIRST_IDX
+        return 2
 
     @property
     def eos_idx(self) -> int:
-        return (self._tokenizer.convert_tokens_to_ids("[SEP]") or 102) - BERT_FIRST_IDX
+        return 1
 
     @property
     def token_type(self) -> str:

@@ -82,18 +82,24 @@ def load_flac(path) -> Tuple[np.ndarray, int, int]:
     """Decode a FLAC file -> (int32 samples [frames, channels], sr, bps)."""
     info = flac_info(path)
     frames, channels = info["num_frames"], info["num_channels"]
-    if frames == 0:
-        # total_samples may legitimately be 0 (unknown); fall back to a
-        # generous bound from the compressed size
+    unknown_total = frames == 0
+    if unknown_total:
+        # total_samples may legitimately be 0 (unknown, streamed encoders);
+        # start from a compressed-size bound and grow until the decode fits
+        # (FLAC routinely compresses >2x, so a fixed bound can truncate)
         frames = os.path.getsize(path) * 8 // max(info["bits_per_sample"], 1) + 65536
-    out = np.zeros((frames * channels,), np.int32)
-    got = _lib().flac_decode(
-        str(path).encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        frames,
-    )
-    if got < 0:
-        raise ValueError(f"FLAC decode failed for {path} (rc={got})")
+    while True:
+        out = np.zeros((frames * channels,), np.int32)
+        got = _lib().flac_decode(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            frames,
+        )
+        if got < 0:
+            raise ValueError(f"FLAC decode failed for {path} (rc={got})")
+        if not (unknown_total and got == frames):
+            break
+        frames *= 2  # buffer filled exactly: may be truncated, retry bigger
     return (
         out[: got * channels].reshape(-1, channels),
         info["sample_rate"],
@@ -174,7 +180,9 @@ def _subframe(w: _BitWriter, x: np.ndarray, bps: int):
         elif order == 1:
             res = np.diff(x.astype(np.int64))
         else:
-            res = x.astype(np.int64)[0:0]
+            # FIXED order-0 predicts zero: the residual IS the samples
+            # (block_size - order = len(x) values)
+            res = x.astype(np.int64)
         sub.write(8 + order, 6)  # FIXED subframe type
         sub.write(0, 1)          # no wasted bits
         for i in range(order):

@@ -27,6 +27,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_KERNEL_T = 2048  # beyond this, VMEM would overflow -> XLA fallback
 
+_LOG2E = 1.4426950408889634
+
+
+def _exp_fast(x):
+    """exp via exp2 — on the TPU VPU exp lowers through exp2 anyway, and
+    folding the log2(e) scale into the subtract-max pass saves a pass."""
+    return jnp.exp2(x * _LOG2E)
+
 
 def _query_block(T: int) -> int:
     """Whole-T query blocks when the [T, T] score tile fits VMEM comfortably
@@ -54,7 +62,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
     kv_len = kvlen_ref[pl.program_id(0), 0]
     scores = jnp.where(col < kv_len, scores, -1e9)
     m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = _exp_fast(scores - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
     out = jax.lax.dot_general(
         p, v_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -164,7 +172,7 @@ def _fused_qkv_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, *,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + penalty  # [BQ, T]
         m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
+        p = _exp_fast(scores - m)
         recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)  # [BQ, 1] divide once
         out = jax.lax.dot_general(
             (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -255,7 +263,7 @@ def _fused_qkv_outproj_kernel(q_ref, k_ref, v_ref, r_ref, wo_ref, wos_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + penalty
         m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
+        p = _exp_fast(scores - m)
         recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
         heads.append(jax.lax.dot_general(
             (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -345,7 +353,7 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
     kv_len = kvlen_ref[pl.program_id(0), 0]
     scores = jnp.where(col < kv_len, scores, -1e9)
     m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = _exp_fast(scores - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
     out = jax.lax.dot_general(
         p, v_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),

@@ -313,5 +313,13 @@ class ByolModel(nn.Module):
 
         emb = byol_encoder(cfg)(mel, deterministic=deterministic)
         emb = emb.reshape(B, n_win, byol_embedding_size(cfg))
-        out_lens = jnp.minimum(wav_lens // step + 1, n_win)
+        if cfg.batch_norm_stats:
+            # BYOL-S center-padded framing: l//step + 1 frames
+            out_lens = jnp.minimum(wav_lens // step + 1, n_win)
+        else:
+            # BYOL-A non-overlapping windows: the reference trims only to
+            # len(range(0, max_wav_len, stride)) (expert.py:122-125) and the
+            # packaged API applies the standard (l-1)//stride + 1 rule —
+            # an exact-multiple wav must NOT count an extra padding window
+            out_lens = jnp.minimum((wav_lens - 1) // step + 1, n_win)
         return emb[None], out_lens

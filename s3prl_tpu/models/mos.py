@@ -59,8 +59,11 @@ class MosModel(nn.Module):
         output exposed through the standard upstream contract."""
         cfg = self.cfg
         B, T = wavs.shape
-        # segment into 1 s windows with 0.5 s hop (static count from padded T)
-        n_seg = max((T - SEG) // STEP + 1 if T > SEG else 1, 1)
+        # segment into 1 s windows with 0.5 s hop (static count from padded
+        # T). Reference unfold_segments (upstream/mos_prediction/utility.py):
+        # pad to (len//step + 1)*step then unfold -> len//step segments for
+        # len > seg (the last one is half zero-padding), 1 otherwise.
+        n_seg = max(T // STEP, 1) if T > SEG else 1
         pad_to = (n_seg - 1) * STEP + SEG
         wavs_p = jnp.pad(wavs, ((0, 0), (0, max(pad_to - T, 0))))
         starts = jnp.arange(n_seg) * STEP

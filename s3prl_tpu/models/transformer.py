@@ -584,7 +584,11 @@ class ConformerLayer(nn.Module):
         h = nn.Conv(self.embed_dim, (self.depthwise_kernel,), padding="SAME",
                     feature_group_count=self.embed_dim, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(h)
-        h = nn.BatchNorm(use_running_average=True, name="conv_bn")(h)
+        # training uses batch statistics and updates the running stats —
+        # callers must apply with mutable=["batch_stats"] then (same
+        # contract as NPC's ConvBlocks, task/reconstruction.py:133-148);
+        # inference normalizes with the checkpoint's running stats
+        h = nn.BatchNorm(use_running_average=deterministic, name="conv_bn")(h)
         h = nn.silu(h)
         h = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="conv_pw2")(h)
         x = x + drop(h)

@@ -94,14 +94,15 @@ class GumbelQuantizer(nn.Module):
                 h = act(nn.Dense(inner, name=f"weight_proj_{i}")(h))
         logits = nn.Dense(G * V, name="weight_proj")(h).reshape(B, T, G, V)
         if train:
-            onehot = jax.nn.one_hot(
-                jax.random.categorical(
-                    self.make_rng("gumbel"), logits / self.temp, axis=-1
-                ),
-                V,
-                dtype=x.dtype,
-            )
-            probs = jax.nn.softmax(logits / self.temp, axis=-1)
+            # F.gumbel_softmax(logits, tau, hard=True) semantics
+            # (wav2vec_model.py GumbelVectorQuantizer): ONE shared gumbel
+            # draw — hard sample = argmax(logits + g) (temperature-free),
+            # gradient through softmax((logits + g) / tau)
+            g = jax.random.gumbel(self.make_rng("gumbel"), logits.shape,
+                                  dtype=logits.dtype)
+            noisy = logits + g
+            probs = jax.nn.softmax(noisy / self.temp, axis=-1)
+            onehot = jax.nn.one_hot(jnp.argmax(noisy, axis=-1), V, dtype=x.dtype)
             onehot = probs + jax.lax.stop_gradient(onehot - probs)  # STE
         else:
             onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V, dtype=x.dtype)

@@ -82,7 +82,12 @@ struct StreamInfo {
   uint64_t total_samples = 0;
 };
 
-bool parse_metadata(Reader& r, StreamInfo* info) {
+// stop_after_info: return once STREAMINFO is parsed (the spec mandates it
+// is the first metadata block) — lets flac_info() work from a truncated
+// header read even when later blocks (PICTURE, big VORBIS_COMMENT) exceed
+// the buffer. The decoder passes false and skips ALL blocks to reach the
+// first frame.
+bool parse_metadata(Reader& r, StreamInfo* info, bool stop_after_info = false) {
   if (r.size < 4 || memcmp(r.data, "fLaC", 4) != 0) return false;
   r.byte = 4;
   bool last = false;
@@ -102,6 +107,7 @@ bool parse_metadata(Reader& r, StreamInfo* info) {
       info->total_samples = r.bits(36);
       r.byte += 16;  // md5
       have_info = true;
+      if (stop_after_info) break;
     } else {
       r.byte += len;
     }
@@ -230,7 +236,7 @@ int flac_info(const char* path, long long* num_samples, int* channels,
   fclose(f);
   Reader r{buf.data(), got};
   StreamInfo info;
-  if (!parse_metadata(r, &info)) return -2;
+  if (!parse_metadata(r, &info, /*stop_after_info=*/true)) return -2;
   *num_samples = (long long)info.total_samples;
   *channels = info.channels;
   *sample_rate = (int)info.sample_rate;

@@ -201,8 +201,11 @@ class SpecAugReconstructionTask(Task):
         k_f, k_t, k_drop = jax.random.split(rng, 3)
         fmask = _band_mask(k_f, B, D, self.freq_mask_num, self.freq_mask_width)
         tmask = _band_mask(k_t, B, T, self.time_mask_num, self.time_mask_width)
-        tmask = tmask & length_mask(feat_lens, T).astype(bool)
-        cell_mask = fmask[:, None, :] | tmask[:, :, None]  # [B, T, D]
+        valid = length_mask(feat_lens, T).astype(bool)
+        # restrict BOTH mask kinds to valid frames — otherwise freq-masked
+        # cells on padding enter the loss and train the model to
+        # reconstruct zeros (the reference samples masks within spec_len)
+        cell_mask = (fmask[:, None, :] | tmask[:, :, None]) & valid[:, :, None]
         masked = jnp.where(cell_mask, 0.0, feats)
         pred, _ = self.module.apply(
             {"params": params}, masked, feat_lens, train=train,

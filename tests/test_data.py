@@ -182,17 +182,22 @@ def test_bert_tokenizer_shift(tmp_path):
     from s3prl_tpu.data.encoder import BERT_FIRST_IDX, BertTokenizer
 
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
-    vocab += [f"tok{i}" for i in range(BERT_FIRST_IDX - len(vocab))]
+    # raw ids 998/999 (shifted 1/2) are sacrificed as <eos>/<unk>
+    # (reference tokenizer.py:16-18); real wordpieces start at raw 1000
+    vocab += [f"tok{i}" for i in range(BERT_FIRST_IDX + 3 - len(vocab))]
     vocab += ["hello", "world"]
     vf = tmp_path / "vocab.txt"
     vf.write_text("\n".join(vocab) + "\n")
 
     hf = transformers.BertTokenizer(str(vf), do_lower_case=True)
     tok = BertTokenizer(hf)
+    assert tok.eos_idx == 1 and tok.unk_idx == 2 and tok.pad_idx == 0
     ids = tok.encode("hello world")
     assert ids[-1] == tok.eos_idx
-    # "world" sits at raw id BERT_FIRST_IDX+1 -> shifted id 1
-    assert 1 in ids
+    # "world" sits at raw id BERT_FIRST_IDX+4 -> shifted id 4
+    assert 4 in ids
     assert "world" in tok.decode(ids)
     # [CLS] (raw id 2) falls outside the window -> <unk>
     assert ids[0] == tok.unk_idx
+    # ids never leave [0, vocab_size) even for real BERT vocab layouts
+    assert all(0 <= i < tok.vocab_size for i in ids)

@@ -177,3 +177,54 @@ def test_flac_stereo_decorrelation(tmp_path, mode):
     out = _handcrafted(tmp_path, mode, 2, ch_code, subframes)
     np.testing.assert_array_equal(out[:, 0], left)
     np.testing.assert_array_equal(out[:, 1], right)
+
+
+def test_flac_final_single_sample_block(tmp_path):
+    """A final block of exactly 1 sample uses a FIXED order-0 subframe whose
+    residual must contain the sample (regression: it was emitted empty)."""
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(257) * 1000).astype(np.int32)  # 256-block + 1 leftover
+    _roundtrip(tmp_path, wav, block_size=256)
+
+
+def test_flac_info_large_metadata_block(tmp_path):
+    """flac_info must read STREAMINFO even when later metadata blocks push
+    the header past the 64 KB probe read (e.g. embedded PICTURE blocks)."""
+    path = tmp_path / "x.flac"
+    wav = (np.random.RandomState(6).randn(1000) * 1000).astype(np.int32)
+    write_flac(path, wav, 16000, block_size=256)
+    raw = bytearray(path.read_bytes())
+    # clear STREAMINFO's last-metadata flag, then splice in a 100 KB PADDING
+    # block (type 1, last=1) right after STREAMINFO (offset 4+4+34)
+    assert raw[4] == 0x80
+    raw[4] = 0x00
+    pad_len = 100 * 1024
+    pad = bytes([0x81]) + pad_len.to_bytes(3, "big") + bytes(pad_len)
+    raw2 = raw[:42] + pad + raw[42:]
+    path2 = tmp_path / "meta.flac"
+    path2.write_bytes(bytes(raw2))
+    info = flac_info(path2)
+    assert info["num_frames"] == 1000 and info["sample_rate"] == 16000
+    decoded, sr, _ = load_flac(path2)
+    np.testing.assert_array_equal(decoded[:, 0], wav)
+
+
+def test_flac_unknown_total_samples(tmp_path):
+    """total_samples=0 (streamed encoders) must not truncate the decode —
+    the capacity fallback grows until the whole stream fits."""
+    path = tmp_path / "x.flac"
+    # constant-ish signal compresses far better than the 2x fallback bound
+    wav = np.zeros(200_000, np.int32)
+    wav[::3] = 100
+    write_flac(path, wav, 16000, block_size=4096)
+    raw = bytearray(path.read_bytes())
+    # zero the 36-bit total_samples field (low nibble of STREAMINFO byte 13
+    # + bytes 14..17; STREAMINFO payload starts at file offset 8)
+    raw[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        raw[8 + i] = 0
+    path2 = tmp_path / "unknown.flac"
+    path2.write_bytes(bytes(raw))
+    assert flac_info(path2)["num_frames"] == 0
+    decoded, sr, _ = load_flac(path2)
+    np.testing.assert_array_equal(decoded[:, 0], wav)

@@ -190,3 +190,28 @@ def test_mos_hub_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(hs)).all()
     # the score is constant over time
     assert np.allclose(np.asarray(hs)[0, 0, :, 0], np.asarray(hs)[0, 0, 0, 0])
+
+
+def test_mos_parity_multisegment(tmp_path):
+    """Wavs longer than one 16000-sample segment follow the reference's
+    unfold (len//8000 segments, last half zero-padded) — regression for the
+    segment-count bug that dropped the final segment."""
+    w2v2, down, weights, path = _make_ckpt(tmp_path, False, False)
+
+    rng = np.random.RandomState(4)
+    wav = rng.randn(1, 24000).astype(np.float32)
+    # reference: 3 segments at starts 0/8000/16000 of the zero-padded wav
+    padded = np.concatenate([wav, np.zeros((1, 8000), np.float32)], axis=1)
+    segs = np.stack([padded[0, s : s + 16000] for s in (0, 8000, 16000)])
+    ref = _ref_score(w2v2, down, weights, segs).mean()
+
+    from s3prl_tpu.models.mos import MosModel
+    from s3prl_tpu.upstream.convert import load_mos_checkpoint
+
+    cfg, params = load_mos_checkpoint(str(path))
+    model = MosModel(cfg)
+    out, _ = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(wav), jnp.asarray([24000]), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], ref, atol=2e-3)

@@ -1,0 +1,104 @@
+"""SUPERB-probe TRAINING throughput benchmark (the reference's workload).
+
+The reference's headline use is 200k-step frozen-upstream probe training
+(SURVEY §6, downstream/asr/config.yaml) — run_downstream.py spends ~95% of
+its step in the frozen upstream forward (SURVEY §3.1 hot loop). This bench
+measures full train-step throughput of the equivalent path here:
+
+  frozen HuBERT-Large (int8 serving forward by default, BENCH_QUANT=0 for
+  bf16) -> stop_gradient -> Featurizer weighted sum -> UtteranceLevel probe
+  -> CE loss -> Adam update of the featurizer+head params,
+
+one jitted step, stepped in an on-device fori_loop (host timing lies on the
+axon tunnel — same protocol as bench.py). Because the upstream is frozen,
+the forward-only serving kernels are legal inside the training step; XLA
+dead-code-eliminates the upstream backward entirely.
+
+Prints one JSON line {"metric", "value", "unit"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from s3prl_tpu import hub
+from s3prl_tpu.nn.heads import UtteranceLevel
+from s3prl_tpu.nn.upstream import UpstreamDownstreamModel
+
+B = int(os.environ.get("BENCH_BATCH", 32))
+SECS = float(os.environ.get("BENCH_SECS", 10.0))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+NUM_CLASSES = 10
+
+
+def main():
+    quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=True,
+                  quantize=quant)
+
+    T = int(16000 * SECS)
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+    labels = jnp.asarray(rng.randint(0, NUM_CLASSES, B), jnp.int32)
+
+    model = UpstreamDownstreamModel(
+        downstream=UtteranceLevel(NUM_CLASSES), num_layers=up.num_layers
+    )
+    hs0, hl0 = up.apply_standardized(up.params, wavs, lens)
+    tparams = model.init(jax.random.key(0), hs0, hl0)["params"]
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(tparams)
+
+    def loss_fn(tparams, hs, h_lens, labels):
+        logits = model.apply({"params": tparams}, hs, h_lens)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels
+        ).mean()
+
+    def train_step(tparams, opt_state, wavs, lens, labels):
+        hs, h_lens = up.apply_standardized(up.params, wavs, lens)
+        hs = jax.lax.stop_gradient(hs)  # frozen upstream (SUPERB protocol)
+        loss, grads = jax.value_and_grad(loss_fn)(tparams, hs, h_lens, labels)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(tparams, updates), opt_state, loss
+
+    @jax.jit
+    def loop(tparams, opt_state, wavs, lens, labels):
+        def body(i, carry):
+            tp, st, acc = carry
+            tp, st, loss = train_step(tp, st, wavs, lens, labels)
+            return tp, st, acc + loss
+        _, _, acc = jax.lax.fori_loop(
+            0, ITERS, body, (tparams, opt_state, jnp.float32(0)))
+        return acc
+
+    float(np.asarray(loop(tparams, opt_state, wavs, lens, labels)))  # compile
+    t0 = time.perf_counter()
+    float(np.asarray(loop(tparams, opt_state, wavs, lens, labels)))
+    elapsed = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "superb_probe_train_throughput",
+        "value": round(B * SECS * ITERS / elapsed, 1),
+        "unit": "audio-sec/sec/chip",
+        "precision": "int8_w8a8_frozen_upstream" if quant else "bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()
