@@ -1,0 +1,32 @@
+"""Hub entry-name parity vs the reference's hubconf surface.
+
+The reference exposes its zoo as functions in upstream/*/hubconf.py
+(s3prl/hub.py star-imports them; `hub.options()` enumerates). A user
+switching frameworks must find every name they used — this test diffs the
+full set statically so a refactor can never silently drop entries.
+"""
+
+import ast
+import glob
+import os
+
+import pytest
+
+REFERENCE = "/root/reference/s3prl/upstream"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
+def test_every_reference_hubconf_name_registered():
+    from s3prl_tpu import hub
+
+    ref_names = set()
+    for path in glob.glob(os.path.join(REFERENCE, "*", "hubconf.py")):
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+                ref_names.add(node.name)
+
+    ours = set(hub.options())
+    missing = sorted(ref_names - ours)
+    assert len(ref_names) > 150, len(ref_names)  # sanity: the glob worked
+    assert not missing, f"reference hub entries without a registry entry: {missing}"

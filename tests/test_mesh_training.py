@@ -63,3 +63,33 @@ def test_mesh_training_matches_single_device(tmp_path):
     np.testing.assert_allclose(losses["mesh"], losses["single"], rtol=1e-4)
     # training actually descends
     assert losses["single"][-1] < losses["single"][0]
+
+
+def test_mesh_sharded_extraction_matches_single_device():
+    """Batch-sharded serving: extraction over a dp mesh (NamedSharding on
+    the batch axis) must produce bit-comparable hidden states to the
+    single-device forward — the multi-chip serving path is just jit + a
+    batch sharding, with XLA inserting any collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    up = hub.load("hubert")  # random-init trunk, real conv+transformer path
+    rng = np.random.RandomState(0)
+    wavs = rng.randn(8, 16000).astype(np.float32)
+    lens = np.full((8,), 16000, np.int32)
+
+    ref, ref_lens = jax.jit(up.apply_standardized)(
+        up.params, wavs, lens)
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharding = NamedSharding(mesh, P("dp"))
+    wavs_s = jax.device_put(wavs, sharding)
+    lens_s = jax.device_put(lens, sharding)
+    params_s = jax.device_put(
+        up.params, NamedSharding(mesh, P()))  # replicated
+    out, out_lens = jax.jit(up.apply_standardized)(params_s, wavs_s, lens_s)
+
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
