@@ -59,8 +59,15 @@ def main():
     model = UpstreamDownstreamModel(
         downstream=UtteranceLevel(NUM_CLASSES), num_layers=up.num_layers
     )
-    hs0, hl0 = up.apply_standardized(up.params, wavs, lens)
-    tparams = model.init(jax.random.key(0), hs0, hl0)["params"]
+    # keep init under ONE jit: eager dispatch of thousands of tiny ops is
+    # pathological over the axon tunnel (same reason registry factories jit
+    # their init)
+    @jax.jit
+    def _init(key, wavs, lens):
+        hs0, hl0 = up.apply_standardized(up.params, wavs, lens)
+        return model.init(key, hs0, hl0)["params"]
+
+    tparams = _init(jax.random.key(0), wavs, lens)
     opt = optax.adam(1e-4)
     opt_state = opt.init(tparams)
 
