@@ -9,9 +9,12 @@ padding mask, fp32 softmax, and the PV matmul in one VMEM-resident pass per
 (batch, head, query-block) grid cell: the [T, T] tensors never leave VMEM.
 
 Speech SUPERB sequence lengths (<=1500 frames at 20 ms) keep whole K/V rows
-in VMEM, so no K-block online-softmax loop is needed; the query dimension is
-still blocked to bound VMEM. Falls back to the plain XLA path for shapes
-that exceed the VMEM budget (ops/attention.py).
+in VMEM, so the hot kernels skip the K-block online-softmax loop; the query
+dimension is still blocked to bound VMEM. Sequences beyond MAX_KERNEL_T
+route to `online_flash_attention` (K-blocked online softmax with scratch
+accumulators — the long-audio serving path); the gated-bias variant falls
+back to XLA there (a [H, T, T] bias at such lengths is itself the memory
+problem — diarization-style chunking is the intended route).
 """
 
 from __future__ import annotations
@@ -217,21 +220,20 @@ def fused_qkv_attention(qkv, kv_lens, num_heads: int, interpret: bool = False):
     """Masked multi-head attention straight from the fused QKV buffer.
 
     qkv[B, T, 3C] (unscaled), kv_lens[B] valid key counts (padding is
-    contiguous). Returns [B, T, C]. Forward-only. Falls back to the XLA
-    heads-last path beyond the VMEM budget.
+    contiguous). Returns [B, T, C]. Forward-only. Beyond the whole-T VMEM
+    budget the K-blocked online-softmax kernel takes over.
     """
     B, T, C3 = qkv.shape
     C = C3 // 3
     if T > MAX_KERNEL_T:
-        from ..ops.attention import attention_bthd
-        from ..ops.masking import length_mask
-
         H = num_heads
+        Dh = C // H
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, H, C // H) * ((C // H) ** -0.5)
-        out = attention_bthd(q, k.reshape(B, T, H, C // H), v.reshape(B, T, H, C // H),
-                             ~length_mask(kv_lens, T))
-        return out.reshape(B, T, C)
+        q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3) * (Dh ** -0.5)
+        k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        out = online_flash_attention(q, k, v, kv_lens, interpret=interpret)
+        return out.transpose(0, 2, 1, 3).reshape(B, T, C)
     interpret = interpret or jax.default_backend() == "cpu"
     return _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=interpret)
 
@@ -342,6 +344,93 @@ def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
     )
 
 
+def _online_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, m_ref, l_ref,
+                   acc_ref, *, nk: int, bk: int):
+    """K-blocked online-softmax cell: grid (B, H, nQ, nK), the K dimension
+    innermost. Scratch (m, l, acc) persists across the K iterations of one
+    (b, h, iq) triple; double buffering of the K/V block DMAs comes from the
+    standard Pallas pipeline. Handles T beyond the whole-T kernels' VMEM
+    budget (long-audio serving).
+    """
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.float32)  # [BQ, Dh] (pre-scaled)
+    k = k_ref[...].astype(jnp.float32)  # [BK, Dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, -1e30)
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = _exp_fast(m_prev - m_new)
+    p = _exp_fast(s - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[...] = (
+            acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _online_flash_kernel(q, k, v, kv_lens, interpret=False):
+    B, H, T, Dh = q.shape
+    BQ, BK = 512, 1024
+    Tq = -(-T // BQ) * BQ
+    Tk = -(-T // BK) * BK
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tq - T), (0, 0))) if Tq != T else q
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tk - T), (0, 0))) if Tk != T else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tk - T), (0, 0))) if Tk != T else v
+    nk = Tk // BK
+    out = pl.pallas_call(
+        partial(_online_kernel, nk=nk, bk=BK),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Dh), q.dtype),
+        grid=(B, H, Tq // BQ, nk),
+        in_specs=[
+            pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, BK, Dh), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, BK, Dh), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 1), jnp.float32),   # running max
+            pltpu.VMEM((BQ, 1), jnp.float32),   # running denominator
+            pltpu.VMEM((BQ, Dh), jnp.float32),  # output accumulator
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :, :T]
+
+
+def online_flash_attention(q, k, v, kv_lens, interpret: bool = False):
+    """K-blocked online-softmax attention for sequences beyond the whole-T
+    kernels' VMEM budget. q pre-scaled by Dh**-0.5; kv_lens[B] valid key
+    counts (contiguous padding). Forward-only.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _online_flash_kernel(q, k, v, kv_lens, interpret=interpret)
+
+
 def _attn_kernel_nobias(q_ref, k_ref, v_ref, kvlen_ref, o_ref):
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)
@@ -397,9 +486,6 @@ def flash_attention(q, k, v, kv_lens, interpret: bool = False):
     """
     B, H, T, Dh = q.shape
     if T > MAX_KERNEL_T:
-        from ..ops.attention import scaled_dot_attention
-        from ..ops.masking import length_mask
-
-        return scaled_dot_attention(q, k, v, ~length_mask(kv_lens, T))
+        return online_flash_attention(q, k, v, kv_lens, interpret=interpret)
     interpret = interpret or jax.default_backend() == "cpu"
     return _flash_attention_kernel(q, k, v, kv_lens, interpret=interpret)

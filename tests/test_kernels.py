@@ -120,3 +120,25 @@ def test_bf16_fused_conv_chain_matches_unfused(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(unfused), atol=1e-4
     )
+
+
+def test_online_flash_attention_matches_xla():
+    """K-blocked online-softmax kernel (long-audio path, T > whole-T VMEM
+    budget) vs the XLA reference, mixed lengths."""
+    from s3prl_tpu.kernels.flash_attention import online_flash_attention
+    from s3prl_tpu.ops.attention import scaled_dot_attention
+    from s3prl_tpu.ops.masking import length_mask
+
+    B, H, T, Dh = 2, 2, 2304, 16  # T spans multiple 1024-key blocks
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    kv_lens = jnp.asarray([2304, 1500], jnp.int32)
+
+    out = online_flash_attention(q, k, v, kv_lens, interpret=True)
+    ref = scaled_dot_attention(q, k, v, ~length_mask(kv_lens, T))
+    valid = np.asarray(length_mask(kv_lens, T))[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
+    )

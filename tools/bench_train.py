@@ -59,15 +59,15 @@ def main():
     model = UpstreamDownstreamModel(
         downstream=UtteranceLevel(NUM_CLASSES), num_layers=up.num_layers
     )
-    # keep init under ONE jit: eager dispatch of thousands of tiny ops is
-    # pathological over the axon tunnel (same reason registry factories jit
-    # their init)
-    @jax.jit
-    def _init(key, wavs, lens):
-        hs0, hl0 = up.apply_standardized(up.params, wavs, lens)
-        return model.init(key, hs0, hl0)["params"]
-
-    tparams = _init(jax.random.key(0), wavs, lens)
+    # init without compiling the upstream forward a second time: eval_shape
+    # gives the hidden-state shapes for free, and the (small) head init is
+    # one fast jit — only the train loop below compiles the big program
+    hs_s, hl_s = jax.eval_shape(
+        lambda w, l: up.apply_standardized(up.params, w, l), wavs, lens)
+    tparams = jax.jit(
+        lambda k: model.init(k, jnp.zeros(hs_s.shape, hs_s.dtype),
+                             jnp.zeros(hl_s.shape, hl_s.dtype))["params"]
+    )(jax.random.key(0))
     opt = optax.adam(1e-4)
     opt_state = opt.init(tparams)
 
