@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .conv_frontend import _erf, _quant_rows8 as _quant_rows
 
-BQ = int(__import__("os").environ.get("S3PRL_BQF", "256"))  # rows per grid cell (FFN kernel)
+BQ = int(__import__("os").environ.get("S3PRL_BQF", "512"))  # rows per grid cell (FFN kernel; 512 measured ~3% over 256 at the serving protocol)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
 CHUNK = 1024  # FFN columns per in-kernel chunk
 
