@@ -45,7 +45,7 @@ from .conv_frontend import _erf, _quant_rows8 as _quant_rows
 
 BQ = int(__import__("os").environ.get("S3PRL_BQF", "512"))  # rows per grid cell (FFN kernel; 512 measured ~3% over 256 at the serving protocol)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
-CHUNK = 1024  # FFN columns per in-kernel chunk
+CHUNK = int(__import__("os").environ.get("S3PRL_FCHUNK", "2048"))  # FFN columns per in-kernel chunk (2048 measured best: 3,288 vs 3,260/3,208 at 1024/512)
 
 
 def _layernorm(x, scale, bias, eps=1e-5):
