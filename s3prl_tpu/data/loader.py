@@ -15,6 +15,25 @@ from typing import Callable, Iterable, Optional
 from .collate import pad_collate
 
 
+def _maybe_distribute(batch_sampler):
+    """Under multi-host SPMD, each process loads only its round-robin share
+    of the global batch stream — the analog of the reference engaging
+    `DistributedBatchSamplerWrapper` under DDP (s3prl/problem/base.py:445-449).
+    Single-process (the common case, and every test) is a no-op.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return batch_sampler
+    from .sampler import DistributedBatchSamplerWrapper
+
+    if isinstance(batch_sampler, DistributedBatchSamplerWrapper):
+        return batch_sampler
+    return DistributedBatchSamplerWrapper(
+        batch_sampler, jax.process_count(), jax.process_index()
+    )
+
+
 class DataLoader:
     def __init__(
         self,
@@ -22,8 +41,11 @@ class DataLoader:
         batch_sampler,
         collate_fn: Optional[Callable] = None,
         prefetch: int = 2,
+        distribute: bool = True,
     ):
         self.dataset = dataset
+        if distribute:
+            batch_sampler = _maybe_distribute(batch_sampler)
         self.batch_sampler = batch_sampler
         self.collate_fn = collate_fn or pad_collate
         self.prefetch = prefetch

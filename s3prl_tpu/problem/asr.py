@@ -100,6 +100,17 @@ class SuperbASR(CommonProblem):
     def _load_encoder(self, workspace: Path):
         return load_tokenizer(workspace / "tokenizer.json")
 
+    # single-file inference decode: greedy CTC (unique-consecutive, drop
+    # blanks — reference speech2text_ctc_task.py:112-137)
+    def _inference_encoder(self, workspace: Path):
+        return self._load_encoder(workspace)
+
+    def _decode_prediction(self, tokenizer, logits) -> str:
+        import numpy as np
+
+        ids = np.argmax(logits[0], axis=-1).tolist()
+        return tokenizer.decode(ids, ignore_repeat=True)
+
     def train_stage(self, workspace: Path, config: dict):
         tokenizer = self._load_encoder(workspace)
         upstream = self.build_upstream(**config.get("build_upstream", {}))

@@ -104,6 +104,48 @@ class CommonProblem(Problem):
         trainer.train(train_loader, valid_loader)
         return trainer
 
+    # ---- single-file inference (legacy -m inference, runner.py:506-524) ------
+    def inference(self, workspace: Path, config: dict, wav_path: str):
+        import jax
+        import numpy as np
+
+        from ..data.audio import load_wav
+        from ..train import checkpoint as ckpt
+
+        encoder = self._inference_encoder(workspace)
+        upstream = self.build_upstream(**config.get("build_upstream", {}))
+        task = self.build_task(upstream, encoder, config)
+        wav, _sr = load_wav(wav_path, target_sample_rate=16000)
+        wav = np.asarray(wav, np.float32).reshape(1, -1)
+        batch = {"x": wav, "x_len": np.asarray([wav.shape[1]], np.int32)}
+
+        hs, h_lens = upstream.upstream.apply_standardized(
+            upstream.upstream.params, batch["x"], batch["x_len"]
+        )
+        params = task.init_params(jax.random.key(0), hs, h_lens, batch)
+        best = workspace / "train" / "valid_best"
+        load_dir = best if best.exists() else ckpt.latest_checkpoint(workspace / "train")
+        if load_dir is None:
+            raise FileNotFoundError(f"no checkpoint under {workspace / 'train'}")
+        params, _, _ = ckpt.load_checkpoint(load_dir, params)
+        logits = task.module.apply({"params": params}, hs, h_lens)
+        if isinstance(logits, tuple):  # frame-level heads return (logits, lens)
+            logits = logits[0]
+        pred = self._decode_prediction(encoder, np.asarray(logits))
+        name = Path(wav_path).stem
+        print(f"{name} {pred}")
+        with open(workspace / "inference.txt", "a") as f:
+            f.write(f"{name} {pred}\n")
+        return pred
+
+    def _inference_encoder(self, workspace: Path):
+        return CategoryEncoder.load(workspace / "encoder.json")
+
+    def _decode_prediction(self, encoder, logits) -> str:
+        import numpy as np
+
+        return encoder.decode(int(np.argmax(logits[0])))
+
     # ---- stage 3 -------------------------------------------------------------
     def evaluate_stage(self, workspace: Path, config: dict):
         encoder = CategoryEncoder.load(workspace / "encoder.json")

@@ -44,14 +44,23 @@ DOWNSTREAM_TO_PROBLEM = {
 
 def get_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("-m", "--mode", choices=["train", "evaluate"], default="train")
+    parser.add_argument(
+        "-m", "--mode", choices=["train", "evaluate", "inference"], default="train"
+    )
     parser.add_argument("-u", "--upstream", default="fbank")
     parser.add_argument("-d", "--downstream", required=True)
     parser.add_argument("-p", "--expdir", required=True, help="target dir")
     parser.add_argument("-k", "--upstream_ckpt", default=None)
     parser.add_argument("-s", "--upstream_feature_selection", default=None)
     parser.add_argument("-o", "--override", default="", help="a.b=c,,d.e=f overrides")
-    parser.add_argument("-a", "--auto_resume", action="store_true", default=True)
+    parser.add_argument(
+        "-t", "--evaluate_split", default="test",
+        help="in inference mode: path to a single audio file (reference "
+        "runner.py:506-524 reuses this flag for the input file)",
+    )
+    # reference semantics: resume is OPT-IN via -a (run_downstream.py:93-107);
+    # without it a stale expdir starts training from scratch
+    parser.add_argument("-a", "--auto_resume", action="store_true", default=False)
     return parser.parse_args(argv)
 
 
@@ -71,9 +80,14 @@ def main(argv=None):
         set_dotted(config, "build_upstream.ckpt", args.upstream_ckpt)
     for key, value in _flatten(parse_override_string(args.override)):
         set_dotted(config, key, value)
+    config.setdefault("train", {})["auto_resume"] = bool(args.auto_resume)
     target_dir = config.pop("target_dir")
     if args.mode == "train":
         return problem.run(target_dir, **config)
+    if args.mode == "inference":
+        from pathlib import Path
+
+        return problem.inference(Path(target_dir), config, args.evaluate_split)
     # evaluate: skip prepare/encode/train stages
     n_stages = len(problem.STAGES)
     return problem.run(target_dir, start=n_stages - 1, **config)

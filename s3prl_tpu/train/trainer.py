@@ -33,7 +33,7 @@ import optax
 
 from . import checkpoint as ckpt
 from .optimizers import build_optimizer
-from ..parallel.mesh import batch_sharding, replicate_to_mesh
+from ..parallel.mesh import batch_sharding
 from ..upstream.base import Upstream
 
 logger = logging.getLogger(__name__)
@@ -52,6 +52,18 @@ class TrainerConfig:
     optimizer: dict = field(default_factory=lambda: {"name": "Adam", "lr": 1.0e-4})
     upstream_trainable: bool = False
     tensorboard: bool = True  # leader-only event files under exp_dir/tb
+    #: multi-device training, reachable from every recipe's `train:` config
+    #: block (the TPU-native analog of the reference's CLI-launched DDP,
+    #: run_downstream.py:166-168 / problem/base.py:426-433): `dp` data-parallel
+    #: ways (None = all remaining devices), `tp` Megatron-style tensor-parallel
+    #: ways. dp*tp must equal the visible device count; dp=1/tp=1 (default)
+    #: is the unsharded single-device path.
+    dp: Optional[int] = None
+    tp: int = 1
+    #: resume from the newest step dir when one exists. Default True matches
+    #: the reference's new API (problem/base.py:374-421); the legacy shim
+    #: overrides with its opt-in -a flag (run_downstream.py:93-107).
+    auto_resume: bool = True
 
 
 def _split_batch(batch: dict):
@@ -80,6 +92,13 @@ class Trainer:
         self.exp_dir = Path(exp_dir)
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self.cfg = config
+        if mesh is None and (config.dp is not None or config.tp != 1):
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=config.dp, tp=config.tp)
+            logger.info(
+                f"trainer mesh from config: dp={mesh.shape['dp']} tp={mesh.shape['tp']}"
+            )
         self.mesh = mesh
         self.optimizer = build_optimizer(
             gradient_clipping=config.gradient_clipping,
@@ -170,12 +189,41 @@ class Trainer:
                 logger.info(f"resumed from {latest} at step {self.step}")
 
         if self.mesh is not None:
-            self.params = replicate_to_mesh(self.mesh, self.params)
-            self.opt_state = replicate_to_mesh(self.mesh, self.opt_state)
+            from ..parallel.mesh import shard_params
 
-    def _place_batch(self, device_batch: dict) -> dict:
+            # TP rules shard the trunk/head matmuls over "tp" (replicate-only
+            # when tp=1); optimizer moments mirror the param tree so the same
+            # trailing-path rules shard them identically. Upstream params are
+            # placed too so every array the jitted step touches lives on the
+            # mesh.
+            self.params = shard_params(self.mesh, self.params)
+            self.opt_state = shard_params(self.mesh, self.opt_state)
+            self.upstream.params = shard_params(self.mesh, self.upstream.params)
+
+    def _place_batch(self, device_batch: dict, replicate: bool = False) -> dict:
         if self.mesh is not None:
+            if replicate:
+                # evaluation is single-program semantics in the reference
+                # (runner.py:433 "single-process-only"); replicating the eval
+                # batch keeps metrics bit-identical to the unsharded path and
+                # tolerates batch sizes not divisible by dp
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.device_put(device_batch, NamedSharding(self.mesh, P()))
             sharding = batch_sharding(self.mesh)
+            b = next(iter(device_batch.values())).shape[0] if device_batch else 0
+            if b % self.mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"train batch size {b} not divisible by dp={self.mesh.shape['dp']}; "
+                    "pick batch_size as a multiple of dp (bucketed static shapes)"
+                )
+            if jax.process_count() > 1:
+                # multi-host: each process holds its DistributedBatchSampler
+                # shard of the global batch; assemble the global array
+                return {
+                    k: jax.make_array_from_process_local_data(sharding, v)
+                    for k, v in device_batch.items()
+                }
             return jax.device_put(device_batch, sharding)
         return device_batch
 
@@ -204,7 +252,7 @@ class Trainer:
                     break
                 device, host = _split_batch(batch)
                 if self.params is None:
-                    self.init(batch)
+                    self.init(batch, resume=self.cfg.auto_resume)
                 device = self._place_batch(device)
                 rng = jax.random.fold_in(self._root_key, self.step + 1)
                 self.params, self.opt_state, loss, cache, grad_norm = self._train_step(
@@ -238,7 +286,7 @@ class Trainer:
             device, host = _split_batch(batch)
             if self.params is None:
                 self.init(batch)
-            device = self._place_batch(device)
+            device = self._place_batch(device, replicate=True)
             rng = jax.random.fold_in(self._root_key, 0)
             loss, cache = self._eval_step(self.params, self.upstream.params, device, rng)
             record = {k: np.asarray(v) for k, v in cache.items()}

@@ -47,6 +47,50 @@ def test_common_example_resume(tmp_path):
     assert metrics
 
 
+def test_common_example_dp_config_matches_single_device(tmp_path):
+    """Multi-device training purely via config (VERDICT r2 #3): a recipe run
+    with `train: {dp: 8}` on the 8-device mesh must produce the same train
+    loss trajectory as the unsharded run — no code, just config, like the
+    reference's CLI-launched DDP (problem/base.py:426-433)."""
+    import json
+
+    import jax
+
+    assert len(jax.devices()) == 8
+
+    def run(tag, dp):
+        problem = CommonExample()
+        config = problem.default_config()
+        config.pop("target_dir")
+        # one full batch per step, divisible by dp=8
+        config["prepare_data"] = {"num_train": 8, "num_valid": 4, "num_test": 4}
+        config["build_batch_sampler"] = {"batch_size": 8}
+        config["train"]["log_step"] = 1
+        if dp:
+            config["train"]["dp"] = dp
+        problem.run(str(tmp_path / tag), stop=2, **config)
+        lines = (tmp_path / tag / "train" / "metrics.jsonl").read_text().splitlines()
+        return [json.loads(l)["loss"] for l in lines if json.loads(l)["mode"] == "train"]
+
+    single = run("single", dp=None)
+    mesh = run("mesh", dp=8)
+    assert len(single) == len(mesh) >= 2
+    np.testing.assert_allclose(mesh, single, rtol=1e-4)
+
+
+def test_shim_inference_mode(tmp_path):
+    """Legacy `-m inference -t <file>` (reference runner.py:506-524): trains
+    the example recipe via the shim, then predicts a single wav file."""
+    from s3prl_tpu.run_downstream import main as rd_main
+
+    expdir = tmp_path / "exp"
+    rd_main(["-m", "train", "-d", "example", "-p", str(expdir)])
+    wav = next((expdir / "wavs").glob("test_*.wav"))
+    pred = rd_main(["-m", "inference", "-d", "example", "-p", str(expdir), "-t", str(wav)])
+    assert pred in {"alpha", "beta", "gamma"}
+    assert (expdir / "inference.txt").read_text().strip().endswith(pred)
+
+
 def test_cli_print_config(capsys):
     from s3prl_tpu.main import main
 
