@@ -52,6 +52,16 @@ def replicate_to_mesh(mesh: Mesh, tree: Any) -> Any:
 # parameter-name fragments -> PartitionSpec for the trunk's big matmuls.
 # Column-parallel (shard output dim) for qkv/fc1, row-parallel (shard input
 # dim) for out_proj/fc2; scanned layers carry a leading L axis.
+#
+# WavLM's gated rel-pos bias (models/wavlm.py GatedRelPosLayer, reference
+# modules.py:389-470) is an EXPLICIT replicate decision, not an omission:
+# `grep_linear` ([Dh, 8]) and `grep_a` ([1, H, 1, 1]) are O(C*8) params doing
+# <0.1% of a block's FLOPs on the *replicated* layer input, and the bucketed
+# bias table `rel_attn_embed` ([num_buckets, H]) is shared across layers.
+# Sharding them over tp would save nothing and force GSPMD to all-gather the
+# per-(head, query) gate inside every attention; replicated, GSPMD partitions
+# the gate math per head on demand where the qkv heads are already sharded.
+# tp=2 vs tp=1 numerics for both trunks: tests/test_parallel.py.
 _TP_RULES = (
     (("self_attn", "qkv", "kernel"), P(None, None, "tp")),
     (("self_attn", "qkv", "bias"), P(None, "tp")),
