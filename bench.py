@@ -89,19 +89,20 @@ def main():
     elapsed = time.perf_counter() - start
 
     audio_sec_per_sec = batch_size * secs * iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "hubert_large_extraction_throughput",
-                "value": round(audio_sec_per_sec, 1),
-                "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
-                "precision": "int8_w8a8" if quant else "bf16",
-                "quality": "hidden-state cos >0.999 vs bf16 (tests/test_quant.py)"
-                if quant else "reference precision",
-            }
-        )
-    )
+    payload = {
+        "metric": "hubert_large_extraction_throughput",
+        "value": round(audio_sec_per_sec, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
+        "precision": "int8_w8a8" if quant else "bf16",
+        "quality": (
+            "24L/1024 per-layer cos >0.999 vs float + downstream-neutral probe "
+            "(tests/test_quant.py::test_hubert_large_quantized_hidden_state_quality, "
+            "::test_int8_features_downstream_neutral)"
+            if quant else "reference precision"
+        ),
+    }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

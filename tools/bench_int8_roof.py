@@ -75,13 +75,28 @@ def _marginal(make_run, make_args, flops_per_stream, s_lo, s_hi, case):
     return rate
 
 
+def _dev_int8(key, shape):
+    """Generate int8 test data ON DEVICE (a host->device transfer of a
+    512MB operand over the tunnel takes minutes)."""
+    x = jax.jit(
+        lambda k: jax.random.randint(k, shape, -127, 128, jnp.int32).astype(jnp.int8)
+    )(key)
+    _fetch(x)
+    return x
+
+
+def _dev_bf16(key, shape):
+    x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.bfloat16) * 0.1)(key)
+    _fetch(x)
+    return x
+
+
 def probe_xla_int32out(M, K, N, s_lo=2, s_hi=8, tag=""):
     """Independent int8 GEMMs -> full int32 outputs. Zero casts in the loop."""
-    rng = np.random.RandomState(0)
-    W = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+    W = _dev_int8(jax.random.key(0), (K, N))
 
     def make_args(s):
-        X = jnp.asarray(rng.randint(-127, 128, (s, M, K)), jnp.int8)
+        X = _dev_int8(jax.random.key(s), (s, M, K))
         return (X, W)
 
     def make_run():
@@ -102,12 +117,11 @@ def probe_xla_int32out(M, K, N, s_lo=2, s_hi=8, tag=""):
 
 def probe_xla_requant(M, K, N, s_lo=2, s_hi=8, tag=""):
     """Same GEMMs + fused requant epilogue -> int8 outputs."""
-    rng = np.random.RandomState(0)
-    W = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+    W = _dev_int8(jax.random.key(0), (K, N))
     scale = jnp.float32(1.0 / 1024.0)
 
     def make_args(s):
-        X = jnp.asarray(rng.randint(-127, 128, (s, M, K)), jnp.int8)
+        X = _dev_int8(jax.random.key(s), (s, M, K))
         return (X, W)
 
     def make_run():
@@ -130,11 +144,10 @@ def probe_xla_requant(M, K, N, s_lo=2, s_hi=8, tag=""):
 
 
 def probe_bf16(M, K, N, s_lo=2, s_hi=8, tag=""):
-    rng = np.random.RandomState(0)
-    W = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.1, jnp.bfloat16)
+    W = _dev_bf16(jax.random.key(0), (K, N))
 
     def make_args(s):
-        X = jnp.asarray(rng.randn(s, M, K).astype(np.float32) * 0.1, jnp.bfloat16)
+        X = _dev_bf16(jax.random.key(s), (s, M, K))
         return (X, W)
 
     def make_run():
@@ -190,11 +203,10 @@ def pallas_int8_mm(x, w, bm=512, bk=1024, bn=512):
 
 
 def probe_pallas(M, K, N, bm, bk, bn, s_lo=2, s_hi=8, tag=""):
-    rng = np.random.RandomState(0)
-    W = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+    W = _dev_int8(jax.random.key(0), (K, N))
 
     def make_args(s):
-        X = jnp.asarray(rng.randint(-127, 128, (s, M, K)), jnp.int8)
+        X = _dev_int8(jax.random.key(s), (s, M, K))
         return (X, W)
 
     def make_run():
