@@ -104,7 +104,13 @@ def ast_windows_forward(model, params, wavs, wav_lens, cfg: ASTConfig, determini
         wavs, wav_lens, num_mel_bins=cfg.input_fdim, frame_shift=10.0
     )
     B, T, F = fbank.shape
-    W = max(T // cfg.input_tdim, 1)
+    # ceil-window: the reference zero-pads the last window to the fixed
+    # input_tdim (ssast/expert.py chunks 1 s windows and pads the tail);
+    # flooring dropped sub-window audio entirely and broke wavs shorter
+    # than one window (98-frame fbank for a 1 s wav vs input_tdim=100)
+    W = max(-(-T // cfg.input_tdim), 1)
+    if T < W * cfg.input_tdim:
+        fbank = jnp.pad(fbank, ((0, 0), (0, W * cfg.input_tdim - T), (0, 0)))
     fb = fbank[:, : W * cfg.input_tdim].reshape(B * W, cfg.input_tdim, F)
     hs = model.apply({"params": params}, fb, deterministic=deterministic)
     L, _, tp, D = hs.shape
