@@ -42,12 +42,25 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu(y):
+    """In-kernel GELU. Default: exact erf (A&S poly). S3PRL_GELU=tanh swaps
+    in the tanh approximation (the torch 'approximate' variant — fewer VPU
+    transcendentals; max abs err vs exact ~3e-3, far below the int8 requant
+    step) for A/B on the serving path."""
+    import os
+
+    if os.environ.get("S3PRL_GELU", "erf") == "tanh":
+        c = math.sqrt(2.0 / math.pi)
+        return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))
+
+
 def _ln_gelu(y, scale_ref, bias_ref):
     mean = jnp.mean(y, axis=1, keepdims=True)
     var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
-    return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))  # exact-GELU (A&S erf)
+    return _gelu(y)
 
 
 def _quant_rows8(y):

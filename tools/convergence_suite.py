@@ -104,9 +104,9 @@ class AsvConvergence(AsvExample):
         cfg["build_downstream"] = {"output_size": 64, "hidden_size": 64,
                                    "aggregation_size": 128}
         cfg["build_batch_sampler"] = {"batch_size": 8}
-        cfg["build_optimizer"] = {"name": "AdamW", "lr": 1.0e-3}
+        cfg["build_optimizer"] = {"name": "AdamW", "lr": 2.0e-3}
         cfg["train"] = {
-            "total_steps": int(os.environ.get("ASV_STEPS", 800)),
+            "total_steps": int(os.environ.get("ASV_STEPS", 2500)),
             "log_step": 25, "eval_step": 10**9, "save_step": 200,
             "gradient_clipping": 1000.0,
         }
@@ -192,7 +192,9 @@ class SdConvergence(SdExample):
                     spk = "AB"[turn]
                     f0 = rng.uniform(300, 450) if spk == "A" else rng.uniform(1000, 1300)
                     i0, i1 = int(s * sr), int(e * sr)
-                    wav[i0:i1] += _tone(f0, e - s, rng, noise=0.0)[: i1 - i0] * 0.3
+                    tone = _tone(f0, e - s, rng, noise=0.0)
+                    m = min(len(tone), i1 - i0)
+                    wav[i0 : i0 + m] += tone[:m] * 0.3
                     segs.append((spk, s, e))
                     # next turn starts slightly before this one ends (overlap)
                     cursor = e - float(rng.uniform(0.0, 0.2))
