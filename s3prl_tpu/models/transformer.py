@@ -161,6 +161,17 @@ def _fused_block_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _qkv_fuse_enabled() -> bool:
+    """Opt-in (S3PRL_QKV_FUSE=1): Pallas LN+quant+QKV+dequant single pass in
+    place of the XLA LayerNorm + QuantDense pair. MEASURED SLOWER on the
+    axon tunnel v5e (3.006 vs 2.581 ms/layer, tools/bench_layer.py) — XLA's
+    quantized GEMM beats the Pallas linear kernel at the [16k,1024]x[1024,
+    3072] shape; kept as an A/B knob for other hardware."""
+    import os
+
+    return os.environ.get("S3PRL_QKV_FUSE", "0") == "1"
+
+
 def _full_fuse_enabled() -> bool:
     """Opt-in (S3PRL_FULL_FUSE=1): Pallas-fused QKV/out-proj linears too.
     Measured slower than XLA QuantDense projections on the tunnel chip."""
@@ -263,8 +274,12 @@ class EncoderLayer(nn.Module):
             self.embed_dim, self.num_heads, self.attention_dropout, self.dtype,
             self.use_flash, self.quantize, name="self_attn",
         )(h, key_padding_mask, attn_bias, deterministic)
-        ln_attn = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
-                               name="self_attn_layer_norm")
+        # constructed at point of use: the fused-QKV serving branch declares
+        # the same "self_attn_layer_norm" name via NormParams instead
+        ln_attn = lambda h: nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=jnp.float32,
+            name="self_attn_layer_norm",
+        )(h)
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
 
@@ -292,8 +307,18 @@ class EncoderLayer(nn.Module):
 
                 (kq, bq), (ko, bo) = _AttnProjParams(
                     self.embed_dim, name="self_attn")()
-                h = ln_attn(x).astype(self.dtype)
-                qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
+                if _qkv_fuse_enabled():
+                    # LN + quantize + QKV GEMM + dequant in one Pallas pass
+                    # (A/B vs the XLA QuantDense path via S3PRL_QKV_FUSE=1)
+                    from ..kernels.ffn import fused_int8_linear
+                    from ..ops.quant import NormParams
+
+                    g_ln, b_ln = NormParams(
+                        self.embed_dim, name="self_attn_layer_norm")()
+                    qkv = fused_int8_linear(x, kq, bq, ln=(g_ln, b_ln))
+                else:
+                    h = ln_attn(x).astype(self.dtype)
+                    qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
                 B, T, _ = x.shape
                 kv_lens = (
                     (~key_padding_mask).sum(-1).astype(jnp.int32)

@@ -63,15 +63,52 @@ def main():
     params = jax.device_put(params)
     _fetch(x0)
 
-    def make(iters):
-        @jax.jit
-        def run(params, x):
-            def body(i, h):
-                return layer.apply({"params": params}, h, None)
+    if variant in ("attn_only", "ffn_only"):
+        # decomposition: chain ONLY the attention block (LN + int8 qkv +
+        # fused attention/out-proj/residual) or ONLY the FFN block (fused
+        # LN+fc1+GELU+fc2+residual) — both are [B,T,C]->[B,T,C]
+        import flax.linen as fnn
+        from s3prl_tpu.kernels.ffn import fused_int8_ffn
+        from s3prl_tpu.kernels.flash_attention import fused_qkv_attention_outproj
+        from s3prl_tpu.ops.quant import int8_matmul
 
-            return jax.lax.fori_loop(0, iters, body, x)
+        p = params
 
-        return run
+        def attn_block(x):
+            h = fnn.LayerNorm(epsilon=1e-5, dtype=jnp.float32).apply(
+                {"params": p["self_attn_layer_norm"]}, x).astype(jnp.bfloat16)
+            qkv = int8_matmul(h, p["self_attn"]["qkv"]["kernel"],
+                              p["self_attn"]["qkv"]["bias"], out_dtype=jnp.bfloat16)
+            kv_lens = jnp.full((B,), T, jnp.int32)
+            return fused_qkv_attention_outproj(
+                qkv, x, p["self_attn"]["out_proj"]["kernel"],
+                p["self_attn"]["out_proj"]["bias"], kv_lens, H)
+
+        def ffn_block(x):
+            return fused_int8_ffn(
+                x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                p["fc2"]["kernel"], p["fc2"]["bias"],
+                ln=(p["final_layer_norm"]["scale"], p["final_layer_norm"]["bias"]),
+                residual=True)
+
+        block = attn_block if variant == "attn_only" else ffn_block
+
+        def make(iters):
+            @jax.jit
+            def run(params, x):
+                return jax.lax.fori_loop(0, iters, lambda i, h: block(h), x)
+
+            return run
+    else:
+        def make(iters):
+            @jax.jit
+            def run(params, x):
+                def body(i, h):
+                    return layer.apply({"params": params}, h, None)
+
+                return jax.lax.fori_loop(0, iters, body, x)
+
+            return run
 
     times = {}
     for it in (IT_LO, IT_HI):

@@ -57,13 +57,15 @@ class CtcConvergence(AsrExample):
 
     def default_config(self) -> dict:
         cfg = super().default_config()
-        cfg["prepare_data"] = {"num_train": 200, "num_valid": 24, "num_test": 24}
-        cfg["build_downstream"] = {"hidden_size": 128, "num_layers": 1, "proj_size": 128}
-        cfg["build_batch_sampler"] = {"batch_size": 8, "max_length": 16000 * 20}
+        # enough training utterances that the LSTM must generalize rather
+        # than memorize (200 utts hit train loss 0.0 / test CER 0.74)
+        cfg["prepare_data"] = {"num_train": 800, "num_valid": 24, "num_test": 24}
+        cfg["build_downstream"] = {"hidden_size": 96, "num_layers": 1, "proj_size": 96}
+        cfg["build_batch_sampler"] = {"batch_size": 16, "max_length": 16000 * 20}
         cfg["build_optimizer"] = {"name": "Adam", "lr": 1.0e-3}
         cfg["train"] = {
-            "total_steps": int(os.environ.get("CTC_STEPS", 1500)),
-            "log_step": 25, "eval_step": 250, "save_step": 500,
+            "total_steps": int(os.environ.get("CTC_STEPS", 3000)),
+            "log_step": 50, "eval_step": 500, "save_step": 1000,
         }
         return cfg
 
@@ -100,11 +102,15 @@ class AsvConvergence(AsvExample):
 
     def default_config(self) -> dict:
         cfg = super().default_config()
-        cfg["prepare_data"] = {"num_speakers": 8, "utts_per_speaker": 12}
+        # enough utterances per speaker that AM-softmax must key on the
+        # speaker signature rather than memorize wavs (12/spk collapsed all
+        # unseen utterances into one cone: test same/cross cosine 0.982/0.982
+        # while train separated 0.995/0.80)
+        cfg["prepare_data"] = {"num_speakers": 8, "utts_per_speaker": 40}
         cfg["build_downstream"] = {"output_size": 64, "hidden_size": 64,
                                    "aggregation_size": 128}
         cfg["build_batch_sampler"] = {"batch_size": 8}
-        cfg["build_optimizer"] = {"name": "AdamW", "lr": 2.0e-3}
+        cfg["build_optimizer"] = {"name": "AdamW", "lr": 1.0e-3}
         cfg["train"] = {
             "total_steps": int(os.environ.get("ASV_STEPS", 2500)),
             "log_step": 25, "eval_step": 10**9, "save_step": 200,
