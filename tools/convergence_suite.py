@@ -53,7 +53,10 @@ class CtcConvergence(AsrExample):
     """Tone-word sequences: word k = a 0.3 s tone at 300*1.3^k Hz; the
     transcript is the letter sequence. CTC must learn segment -> char."""
 
-    WORDS = "abcdef"
+    # uppercase: CharacterTokenizer normalizes hypotheses to upper (the
+    # LibriSpeech convention, data/encoder.py:129); references must match or
+    # every letter scores as an error (train loss 2e-5 / train CER 0.58)
+    WORDS = "ABCDEF"
 
     def default_config(self) -> dict:
         cfg = super().default_config()
