@@ -49,9 +49,14 @@ def _gelu(y):
     step) for A/B on the serving path."""
     import os
 
-    if os.environ.get("S3PRL_GELU", "erf") == "tanh":
+    mode = os.environ.get("S3PRL_GELU", "erf")
+    if mode == "tanh":
         c = math.sqrt(2.0 / math.pi)
         return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    if mode == "sigmoid":  # x*sigmoid(1.702x): one exp (max err ~1e-2)
+        return y * jax.nn.sigmoid(1.702 * y)
+    if mode == "relu":  # NOT gelu — VPU-cost measurement probe only
+        return jnp.maximum(y, 0.0)
     return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))
 
 

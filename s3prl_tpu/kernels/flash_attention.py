@@ -344,6 +344,120 @@ def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
     )
 
 
+def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
+                       wos_ref, bo_ref, kvlen_ref, o_ref, *, num_heads: int,
+                       scale: float):
+    """THE WHOLE pre-LN attention block in one cell (grid = (B,)):
+
+        LN -> row-quant -> int8 QKV GEMM -> per-head attention ->
+        row-quant -> int8 out-proj -> +bias -> +residual
+
+    x makes exactly ONE HBM round trip for the entire block. The separate
+    XLA LayerNorm pass, the quantize pass, the [B, T, 3C] qkv buffer, and
+    the residual re-read of the unfused path (measured 1.57 ms/layer at the
+    serving protocol, tools/bench_layer.py attn_only) all disappear —
+    traffic drops from ~450 MB to ~70 MB per layer. Whole-T cells (T <= 512)
+    so K/V are computed once; longer sequences use the split path.
+    """
+    T = x_ref.shape[0]
+    C = o_ref.shape[1]
+    Dh = C // num_heads
+    x_in = x_ref[...].astype(jnp.float32)  # [T, C]
+    ln_g = ln_ref[0, :]
+    ln_b = ln_ref[1, :]
+    mean = jnp.mean(x_in, axis=1, keepdims=True)
+    var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
+    xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
+    s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
+    qkv = jax.lax.dot_general(
+        x8, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    qkv = (qkv * s_x * wqs_ref[0, :] + bq_ref[0, :]).astype(jnp.bfloat16)
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * Dh : (h + 1) * Dh]
+        k = qkv[:, C + h * Dh : C + (h + 1) * Dh]
+        v = qkv[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + penalty
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = _exp_fast(scores - m)
+        recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    attn = jnp.concatenate(heads, axis=1)  # [T, C] f32
+    s_a = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
+    a8 = jnp.clip(jnp.round(attn / s_a), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        a8, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * s_a * wos_ref[0, :] + bo_ref[0, :] + x_in
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
+                     num_heads, interpret=False):
+    B, T, C = x.shape
+    Dh = C // num_heads
+    Tp = -(-T // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
+    out = pl.pallas_call(
+        partial(_attn_block_kernel, num_heads=num_heads, scale=Dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, wq_q, bq.reshape(1, 3 * C).astype(jnp.float32), wq_s.reshape(1, 3 * C),
+      ln2, wo_q, wo_s.reshape(1, C), bo.reshape(1, C).astype(jnp.float32),
+      kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :T]
+
+
+MAX_BLOCK_T = 512  # whole-T attention-block cells; beyond -> split path
+
+
+def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
+                          interpret: bool = False):
+    """residual + out_proj(MHA(qkv_proj(LN(x)))) — the full pre-LN attention
+    block in one Pallas kernel (int8 W8A8 projections, dynamic per-row
+    activation scales). `ln` = (scale[C], bias[C]); wq [C, 3C], wo [C, C] in
+    checkpoint dtype. Sequences beyond MAX_BLOCK_T fall back to the
+    LN -> int8 qkv -> fused attention+out-proj split path.
+    """
+    from ..ops.quant import quantize_cols
+
+    B, T, C = x.shape
+    ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
+    wq_q, wq_s = quantize_cols(wq)
+    wo_q, wo_s = quantize_cols(wo)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
+                            num_heads, interpret=interpret)
+
+
 def _online_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, m_ref, l_ref,
                    acc_ref, *, nk: int, bk: int):
     """K-blocked online-softmax cell: grid (B, H, nQ, nK), the K dimension

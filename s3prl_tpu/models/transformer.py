@@ -161,6 +161,15 @@ def _fused_block_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _attn_block_enabled() -> bool:
+    """S3PRL_ATTN_BLOCK=0 disables the whole-block fused attention kernel
+    (LN+QKV+MHA+out-proj+residual in one pass, kernels/flash_attention.py)
+    and falls back to the split LN -> int8 QKV -> attention+out-proj path."""
+    import os
+
+    return os.environ.get("S3PRL_ATTN_BLOCK", "1") == "1"
+
+
 def _qkv_fuse_enabled() -> bool:
     """Opt-in (S3PRL_QKV_FUSE=1): Pallas LN+quant+QKV+dequant single pass in
     place of the XLA LayerNorm + QuantDense pair. MEASURED SLOWER on the
@@ -307,26 +316,47 @@ class EncoderLayer(nn.Module):
 
                 (kq, bq), (ko, bo) = _AttnProjParams(
                     self.embed_dim, name="self_attn")()
-                if _qkv_fuse_enabled():
-                    # LN + quantize + QKV GEMM + dequant in one Pallas pass
-                    # (A/B vs the XLA QuantDense path via S3PRL_QKV_FUSE=1)
-                    from ..kernels.ffn import fused_int8_linear
+                B, T, _ = x.shape
+                from ..kernels.flash_attention import MAX_BLOCK_T
+
+                if _attn_block_enabled() and T <= MAX_BLOCK_T:
+                    # whole attention block (LN + int8 QKV + MHA + int8
+                    # out-proj + residual) in ONE kernel: x makes a single
+                    # HBM round trip (kernels/flash_attention.py
+                    # fused_attention_block)
+                    from ..kernels.flash_attention import fused_attention_block
                     from ..ops.quant import NormParams
 
                     g_ln, b_ln = NormParams(
                         self.embed_dim, name="self_attn_layer_norm")()
-                    qkv = fused_int8_linear(x, kq, bq, ln=(g_ln, b_ln))
+                    kv_lens = (
+                        (~key_padding_mask).sum(-1).astype(jnp.int32)
+                        if key_padding_mask is not None
+                        else jnp.full((B,), T, jnp.int32)
+                    )
+                    x = fused_attention_block(
+                        x, kq, bq, (g_ln, b_ln), ko, bo, kv_lens,
+                        self.num_heads)
                 else:
-                    h = ln_attn(x).astype(self.dtype)
-                    qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
-                B, T, _ = x.shape
-                kv_lens = (
-                    (~key_padding_mask).sum(-1).astype(jnp.int32)
-                    if key_padding_mask is not None
-                    else jnp.full((B,), T, jnp.int32)
-                )
-                x = fused_qkv_attention_outproj(
-                    qkv, x, ko, bo, kv_lens, self.num_heads)
+                    if _qkv_fuse_enabled():
+                        # LN + quantize + QKV GEMM + dequant in one Pallas
+                        # pass (A/B vs QuantDense via S3PRL_QKV_FUSE=1)
+                        from ..kernels.ffn import fused_int8_linear
+                        from ..ops.quant import NormParams
+
+                        g_ln, b_ln = NormParams(
+                            self.embed_dim, name="self_attn_layer_norm")()
+                        qkv = fused_int8_linear(x, kq, bq, ln=(g_ln, b_ln))
+                    else:
+                        h = ln_attn(x).astype(self.dtype)
+                        qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
+                    kv_lens = (
+                        (~key_padding_mask).sum(-1).astype(jnp.int32)
+                        if key_padding_mask is not None
+                        else jnp.full((B,), T, jnp.int32)
+                    )
+                    x = fused_qkv_attention_outproj(
+                        qkv, x, ko, bo, kv_lens, self.num_heads)
             else:
                 x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving and self.layer_norm_eps == 1e-5:

@@ -102,6 +102,44 @@ def test_fused_qkv_attention_matches_xla():
     )
 
 
+def test_fused_attention_block_matches_split_path():
+    """fused_attention_block (LN+int8 QKV+MHA+int8 out-proj+residual in one
+    kernel) vs the split serving path (XLA LN -> int8_matmul ->
+    fused_qkv_attention_outproj), mixed lengths."""
+    import flax.linen as fnn
+
+    from s3prl_tpu.kernels.flash_attention import (
+        fused_attention_block, fused_qkv_attention_outproj)
+    from s3prl_tpu.ops.quant import int8_matmul
+
+    B, T, C, H = 2, 77, 128, 4
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5, jnp.bfloat16)
+    wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.05)
+    bq = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.02)
+    wo = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.05)
+    bo = jnp.asarray(rng.randn(C).astype(np.float32) * 0.02)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    kv_lens = jnp.asarray([77, 41], jnp.int32)
+
+    h = fnn.LayerNorm(epsilon=1e-5, dtype=jnp.float32).apply(
+        {"params": {"scale": g, "bias": be}}, x).astype(jnp.bfloat16)
+    qkv = int8_matmul(h, wq, bq, out_dtype=jnp.bfloat16)
+    ref = fused_qkv_attention_outproj(qkv, x, wo, bo, kv_lens, H, interpret=True)
+
+    out = fused_attention_block(x, wq, bq, (g, be), wo, bo, kv_lens, H,
+                                interpret=True)
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    for i, L in enumerate([77, 41]):
+        av, bv = a[i, :L].ravel(), b[i, :L].ravel()
+        cos = (av * bv).sum() / (np.linalg.norm(av) * np.linalg.norm(bv))
+        # both paths quantize (different rounding points); agreement is
+        # near-exact up to the int8 step
+        assert cos > 0.999, (i, cos)
+
+
 def test_bf16_fused_conv_chain_matches_unfused(monkeypatch):
     """S3PRL_FUSED_CONV=1 routes layer_norm-mode extraction through the
     pair-interleaved fused conv+LN+GELU kernels; output matches the XLA

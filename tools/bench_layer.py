@@ -63,7 +63,7 @@ def main():
     params = jax.device_put(params)
     _fetch(x0)
 
-    if variant in ("attn_only", "ffn_only"):
+    if variant in ("attn_only", "ffn_only", "attn_block", "serving_block"):
         # decomposition: chain ONLY the attention block (LN + int8 qkv +
         # fused attention/out-proj/residual) or ONLY the FFN block (fused
         # LN+fc1+GELU+fc2+residual) — both are [B,T,C]->[B,T,C]
@@ -91,7 +91,21 @@ def main():
                 ln=(p["final_layer_norm"]["scale"], p["final_layer_norm"]["bias"]),
                 residual=True)
 
-        block = attn_block if variant == "attn_only" else ffn_block
+        from s3prl_tpu.kernels.flash_attention import fused_attention_block
+
+        def attn_block_fused(x):
+            return fused_attention_block(
+                x, p["self_attn"]["qkv"]["kernel"], p["self_attn"]["qkv"]["bias"],
+                (p["self_attn_layer_norm"]["scale"], p["self_attn_layer_norm"]["bias"]),
+                p["self_attn"]["out_proj"]["kernel"], p["self_attn"]["out_proj"]["bias"],
+                jnp.full((B,), T, jnp.int32), H)
+
+        block = {
+            "attn_only": attn_block,
+            "ffn_only": ffn_block,
+            "attn_block": attn_block_fused,
+            "serving_block": lambda x: ffn_block(attn_block_fused(x)),
+        }[variant]
 
         def make(iters):
             @jax.jit
