@@ -42,14 +42,15 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _gelu(y):
-    """In-kernel GELU. Default: exact erf (A&S poly). S3PRL_GELU=tanh swaps
-    in the tanh approximation (the torch 'approximate' variant — fewer VPU
-    transcendentals; max abs err vs exact ~3e-3, far below the int8 requant
-    step) for A/B on the serving path."""
+def _gelu(y, mode: str = None):
+    """In-kernel GELU. `mode` (or S3PRL_GELU, which wins for A/B): "erf" =
+    exact (A&S poly — Mosaic has no erf primitive), "tanh" = the torch
+    'approximate' variant (max abs err ~3e-3, far below the int8 requant
+    step; measured ~0.13 ms/layer cheaper on the FFN kernel and -28% on the
+    conv front end), "sigmoid"/"relu" = measurement probes."""
     import os
 
-    mode = os.environ.get("S3PRL_GELU", "erf")
+    mode = os.environ.get("S3PRL_GELU") or mode or "erf"
     if mode == "tanh":
         c = math.sqrt(2.0 / math.pi)
         return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
@@ -60,12 +61,12 @@ def _gelu(y):
     return y * 0.5 * (1.0 + _erf(y / math.sqrt(2.0)))
 
 
-def _ln_gelu(y, scale_ref, bias_ref):
+def _ln_gelu(y, scale_ref, bias_ref, mode: str = None):
     mean = jnp.mean(y, axis=1, keepdims=True)
     var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
-    return _gelu(y)
+    return _gelu(y, mode)
 
 
 def _quant_rows8(y):
@@ -75,13 +76,14 @@ def _quant_rows8(y):
     return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8), s
 
 
-def _kernel(a_ref, b_ref, w_ref, scale_ref, bias_ref, o_ref):
+def _kernel(a_ref, b_ref, w_ref, scale_ref, bias_ref, o_ref, *,
+            gelu_mode=None):
     patches = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # [CT, k]
     y = jax.lax.dot_general(
         patches, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, C] fp32
-    y = _ln_gelu(y, scale_ref, bias_ref)
+    y = _ln_gelu(y, scale_ref, bias_ref, gelu_mode)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -114,19 +116,21 @@ def _conv0_phase_views(wavs, kernel, stride, k):
     return x5a, x5b, w, B, C, T_out, n_blocks, Tp_out
 
 
-@partial(jax.jit, static_argnames=("stride", "k", "interpret"))
+@partial(jax.jit, static_argnames=("stride", "k", "interpret", "gelu_mode"))
 def conv0_ln_gelu(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
-                  interpret: bool = False):
+                  interpret: bool = False, gelu_mode: str = None):
     """wavs[B, T] -> GELU(LN(conv1d(wavs)))[B, (T-k)//stride+1, C].
 
     kernel [k, 1, C] (nn.Conv layout), scale/bias [C] (nn.LayerNorm params).
-    Requires k == 2*stride (the wav2vec2 front end's 10/5).
+    Requires k == 2*stride (the wav2vec2 front end's 10/5). `gelu_mode`
+    "tanh" on the int8 serving path (quality-gated by the Large cosine
+    test); None = exact erf.
     """
     x5a, x5b, w, B, C, T_out, n_blocks, Tp_out = _conv0_phase_views(
         wavs, kernel, stride, k)
 
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, gelu_mode=gelu_mode),
         out_shape=jax.ShapeDtypeStruct((B, Tp_out, C), wavs.dtype),
         grid=(B, n_blocks),
         in_specs=[

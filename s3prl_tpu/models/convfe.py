@@ -267,6 +267,12 @@ class ConvFeatureExtractor(nn.Module):
                 )
                 cin = dim
             return xq
+        # int8 serving runs the tanh-approximate GELU (torch approximate=
+        # 'tanh'; max abs err ~3e-3, below the int8 requant step — gated by
+        # tests/test_quant.py Large-scale cosine): XLA's erf costs 7.7 ms of
+        # the 27.7 ms front end on v5e (tools/bench_conv_act probe). The
+        # bf16 path keeps exact erf (reference precision).
+        serving_tanh = self.quantize and not train
         if fuse0:
             # fused conv0+LN+GELU Pallas kernel: the layer-0 output is the
             # biggest tensor of the pipeline and XLA's lowering round-trips
@@ -279,6 +285,7 @@ class ConvFeatureExtractor(nn.Module):
             x = conv0_ln_gelu(
                 wavs.astype(self.dtype), kernel, scale, bias, stride=s0, k=k0,
                 interpret=jax.default_backend() == "cpu",
+                gelu_mode="tanh" if serving_tanh else None,
             )
         for i, (dim, k, stride) in enumerate(self.conv_layers):
             if i == 0 and fuse0:
@@ -316,5 +323,5 @@ class ConvFeatureExtractor(nn.Module):
                 x = nn.GroupNorm(
                     num_groups=dim, epsilon=1e-5, dtype=jnp.float32, name="gn_0"
                 )(x).astype(self.dtype)
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=serving_tanh)
         return x
