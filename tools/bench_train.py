@@ -85,6 +85,7 @@ def main():
             logits.astype(jnp.float32), labels
         ).mean()
 
+    @jax.jit
     def train_step(tparams, opt_state, wavs, lens, labels):
         hs, h_lens = up.apply_standardized(up.params, wavs, lens)
         hs = jax.lax.stop_gradient(hs)  # frozen upstream (SUPERB protocol)
@@ -92,25 +93,34 @@ def main():
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(tparams, updates), opt_state, loss
 
-    @jax.jit
-    def loop(tparams, opt_state, wavs, lens, labels):
-        def body(i, carry):
-            tp, st, acc = carry
+    # Round-3 protocol: compile ONE step (the round-2 fori_loop wrapper blew
+    # past the tunnel compile-service limit, header note) and chain N async
+    # dispatches through the device-resident (tparams, opt_state) — a true
+    # data dependency — fetching only the last loss. Marginal time between
+    # two chain lengths cancels the tunnel round-trip + dispatch overheads.
+    def chain(n, tp, st):
+        loss = None
+        for _ in range(n):
             tp, st, loss = train_step(tp, st, wavs, lens, labels)
-            return tp, st, acc + loss
-        _, _, acc = jax.lax.fori_loop(
-            0, ITERS, body, (tparams, opt_state, jnp.float32(0)))
-        return acc
+        return float(np.asarray(loss))  # host fetch = sync
 
-    float(np.asarray(loop(tparams, opt_state, wavs, lens, labels)))  # compile
-    t0 = time.perf_counter()
-    float(np.asarray(loop(tparams, opt_state, wavs, lens, labels)))
-    elapsed = time.perf_counter() - t0
+    chain(1, tparams, opt_state)  # compile + warm
+    lo, hi = max(ITERS // 3, 1), ITERS
+    times = {}
+    for n in (lo, hi):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chain(n, tparams, opt_state)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    per_step = (times[hi] - times[lo]) / (hi - lo)
 
     print(json.dumps({
         "metric": "superb_probe_train_throughput",
-        "value": round(B * SECS * ITERS / elapsed, 1),
+        "value": round(B * SECS / per_step, 1),
         "unit": "audio-sec/sec/chip",
+        "ms_per_step": round(per_step * 1e3, 1),
         "precision": "int8_w8a8_frozen_upstream" if quant else "bf16",
     }))
 
