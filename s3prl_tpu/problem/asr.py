@@ -163,6 +163,8 @@ class SuperbPR(SuperbASR):
         cfg["train"]["total_steps"] = 100000
         cfg["train"]["gradient_accumulate"] = 2
         cfg["build_downstream"] = {"hidden_size": 256, "num_layers": 1, "proj_size": 256}
+        # batch 16 (superb_pr.py:48; legacy ctc/libriphone.yaml corpus.batch_size)
+        cfg["build_batch_sampler"]["batch_size"] = 16
         return cfg
 
     def build_encoder(self, workspace: Path, config: dict):

@@ -59,7 +59,11 @@ class SuperbASV(CommonProblem):
             downstream=downstream, num_layers=upstream.num_layers,
             **config.get("build_featurizer", {}),
         )
-        return SpeakerVerificationTask(module, num_speakers=len(encoder))
+        # margin/scale mirror the reference's amsoftmax loss params
+        # (nn/speaker_loss.py amsoftmax: margin 0.4, scale 30)
+        return SpeakerVerificationTask(
+            module, num_speakers=len(encoder), **config.get("build_task", {})
+        )
 
     def evaluate_stage(self, workspace: Path, config: dict):
         """Extract embeddings for test utterances; score the trial list."""

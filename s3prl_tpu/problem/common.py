@@ -228,6 +228,9 @@ class SuperbER(CommonProblem):
     def default_config(self) -> dict:
         cfg = SuperbSID.default_config(self)
         cfg["prepare_data"] = {"iemocap": "???", "test_fold": 1}
+        # batch 4 x accum 8 (superb_er.py:164,205; legacy emotion/config.yaml
+        # train_batch_size 4 / gradient_accumulate_steps 8)
+        cfg["build_batch_sampler"] = {"batch_size": 4}
         cfg["train"]["total_steps"] = 30000
         cfg["train"]["gradient_accumulate"] = 8
         return cfg
@@ -246,6 +249,8 @@ class SuperbIC(CommonProblem):
     def default_config(self) -> dict:
         cfg = SuperbSID.default_config(self)
         cfg["prepare_data"] = {"fluent_speech_commands": "???"}
+        # batch 32 (superb_ic.py:113; legacy fluent_commands/config.yaml)
+        cfg["build_batch_sampler"] = {"batch_size": 32}
         cfg["train"]["gradient_accumulate"] = 1
         return cfg
 

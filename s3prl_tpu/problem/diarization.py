@@ -37,7 +37,9 @@ class SuperbSD(Problem):
             "target_dir": "???",
             "prepare_data": {"train_dir": "???", "valid_dir": "???", "test_dir": "???"},
             "build_upstream": {"name": "fbank"},
-            "build_downstream": {"hidden_size": 512, "num_layers": 3},
+            # hidden 512 / 1 LSTM layer (superb_sd.py:61-62; legacy
+            # diarization/config.yaml modelrc rnn_layers 1)
+            "build_downstream": {"hidden_size": 512, "num_layers": 1},
             "build_batch_sampler": {"batch_size": 8},
             "build_optimizer": {"name": "Adam", "lr": 1.0e-4},
             "num_speakers": 2,

@@ -61,9 +61,13 @@ class SuperbSS(Problem):
             "target_dir": "???",
             "prepare_data": {"libri2mix": "???"},
             "build_upstream": {"name": "fbank"},
-            "build_downstream": {"hidden_size": 256},
-            "build_batch_sampler": {"batch_size": 6},
-            "build_optimizer": {"name": "Adam", "lr": 1.0e-4},
+            # SepRNN spec (legacy separation_stft2/configs/cfg.yaml modelrc:
+            # 3-layer bidirectional LSTM, hidden 256, dropout 0.1; AdamW 1e-3,
+            # 150k steps, train_batchsize 8)
+            "build_downstream": {"hidden_size": 256, "num_layers": 3,
+                                 "dropout": 0.1},
+            "build_batch_sampler": {"batch_size": 8},
+            "build_optimizer": {"name": "AdamW", "lr": 1.0e-3},
             "train": {
                 "total_steps": 150000, "log_step": 500,
                 "eval_step": 5000, "save_step": 1000,
@@ -89,23 +93,27 @@ class SuperbSS(Problem):
             out.to_csv(workspace / f"{split}.csv", index=False)
 
     def build_task(self, upstream: SUpstream, config: dict):
-        import flax.linen as nn
+        from ..nn.heads import RNNEncoder
 
-        num_sources = self.num_sources
-        hidden = config.get("build_downstream", {}).get("hidden_size", 256)
-
-        class MaskHead(nn.Module):
-            @nn.compact
-            def __call__(self, h, h_lens, train=False):
-                h = nn.relu(nn.Dense(hidden, name="fc1")(h))
-                out = nn.Dense(num_sources * 257, name="mask")(h)
-                return out, h_lens
-
+        # SepRNN-shaped mask estimator (legacy separation_stft2 model.py
+        # SepRNN: stacked bidirectional LSTM -> linear mask head; the task
+        # applies the sigmoid): RNNEncoder is the same stack with per-layer
+        # projections. STFT geometry is the enhancement_stft2 512/400/160
+        # (task/enhancement.py N_FFT/WIN/HOP).
+        dcfg = config.get("build_downstream", {})
+        head = RNNEncoder(
+            output_size=self.num_sources * 257,
+            hidden_size=dcfg.get("hidden_size", 256),
+            num_layers=dcfg.get("num_layers", 3),
+            bidirectional=dcfg.get("bidirectional", True),
+            dropout=dcfg.get("dropout", 0.1),
+            proj_size=dcfg.get("hidden_size", 256),
+        )
         module = UpstreamDownstreamModel(
-            downstream=MaskHead(), num_layers=upstream.num_layers,
+            downstream=head, num_layers=upstream.num_layers,
             **config.get("build_featurizer", {}),
         )
-        return SeparationTask(module, num_sources=num_sources)
+        return SeparationTask(module, num_sources=self.num_sources)
 
     def _loader(self, workspace, csv_name, mode, config):
         csv_path = workspace / csv_name
@@ -190,6 +198,8 @@ class SuperbSE(SuperbSS):
     def default_config(self) -> dict:
         cfg = super().default_config()
         cfg["prepare_data"] = {"voicebank": "???"}
+        # legacy enhancement_stft2/configs/cfg_voicebank.yaml: 100k steps
+        cfg["train"]["total_steps"] = 100000
         return cfg
 
     def prepare_data(self, workspace: Path, config: dict):

@@ -43,8 +43,13 @@ class SuperbST(Problem):
             "build_encoder": {"vocab_size": 8000},
             "build_downstream": {"hidden_size": 256, "num_layers": 3, "num_heads": 4, "ffn_size": 1024},
             "build_batch_sampler": {"batch_size": 16},
-            "build_optimizer": {"name": "Adam", "lr": 1.0e-4, "scheduler": "linear_schedule"},
-            "train": {"total_steps": 100000, "log_step": 500, "eval_step": 5000, "save_step": 1000},
+            # Adam lr 1e-3, 32k steps, accum 8 (legacy speech_translation/
+            # config.yaml: optimizer lr 0.001, runner total_steps 32000 /
+            # gradient_accumulate_steps 8; label-smoothed CE 0.1 is the task
+            # default, task/speech_translation.py)
+            "build_optimizer": {"name": "Adam", "lr": 1.0e-3, "scheduler": "linear_schedule"},
+            "train": {"total_steps": 32000, "log_step": 500, "eval_step": 5000,
+                      "save_step": 1000, "gradient_accumulate": 8},
         }
 
     def prepare_data(self, workspace: Path, config: dict):
