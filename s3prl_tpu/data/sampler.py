@@ -278,3 +278,48 @@ class DistributedBatchSamplerWrapper(_EpochAware):
     def __len__(self) -> int:
         n = len(self.sampler)
         return math.ceil(n / self.world_size)
+
+
+class GE2EBatchSampler(_EpochAware):
+    """Speaker-grouped batches for the GE2E loss (reference: downstream/
+    voxceleb2_ge2e/dataset.py:57-130): each batch is `speakers_per_batch`
+    speakers x `utts_per_speaker` consecutive utterances of each speaker,
+    flattened speaker-major so the task can reshape to [N, M, D]."""
+
+    def __init__(
+        self,
+        labels: Sequence[str],
+        speakers_per_batch: int = 10,
+        utts_per_speaker: int = 10,
+        batches_per_epoch: Optional[int] = None,
+        seed: int = 12345,
+    ):
+        super().__init__()
+        self.by_speaker = {}
+        for i, lab in enumerate(labels):
+            self.by_speaker.setdefault(str(lab), []).append(i)
+        if len(self.by_speaker) < speakers_per_batch:
+            raise ValueError(
+                f"need >= {speakers_per_batch} speakers, got {len(self.by_speaker)}")
+        self.speakers = sorted(self.by_speaker)
+        self.speakers_per_batch = speakers_per_batch
+        self.utts_per_speaker = utts_per_speaker
+        self.batches_per_epoch = batches_per_epoch or max(
+            len(labels) // (speakers_per_batch * utts_per_speaker), 1)
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[List[int]]:
+        rng = self._rng(self.seed)
+        for _ in range(self.batches_per_epoch):
+            spks = rng.choice(len(self.speakers), self.speakers_per_batch,
+                              replace=False)
+            batch: List[int] = []
+            for s in spks:
+                pool = self.by_speaker[self.speakers[s]]
+                take = rng.choice(len(pool), self.utts_per_speaker,
+                                  replace=len(pool) < self.utts_per_speaker)
+                batch.extend(pool[j] for j in take)
+            yield batch
+
+    def __len__(self) -> int:
+        return self.batches_per_epoch

@@ -100,3 +100,18 @@ class SuperbDiarizationModel(nn.Module):
             xs = rnn(xs, seq_lengths=xs_len)
         logits = nn.Dense(self.output_size, name="linear")(xs)
         return logits, xs_len
+
+
+class SapSpeakerHead(nn.Module):
+    """Projector + self-attentive pooling utterance embedder (reference:
+    downstream/voxceleb2_ge2e/config.yaml modelrc — module Identity,
+    input_dim 256, agg_module SAP)."""
+
+    input_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_len: jnp.ndarray, train: bool = False):
+        from .heads import SelfAttentivePooling
+
+        x = nn.Dense(self.input_dim, name="projector")(x)
+        return SelfAttentivePooling(name="sap")(x, x_len)

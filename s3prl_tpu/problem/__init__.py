@@ -1,7 +1,7 @@
 from .base import Problem
 from .common import CommonExample, IcExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
-from .asv import AsvExample, SuperbASV
+from .asv import AsvExample, Ge2eExample, SuperbASV, Voxceleb2GE2E
 from .diarization import SdExample, SuperbSD
 from .hear import (
     HearBeijingOpera,
@@ -24,6 +24,7 @@ from .hear import (
     HearVocal,
     HearVoxLingual,
 )
+from .mos import MosExample, MosPrediction
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST

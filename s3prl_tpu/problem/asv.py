@@ -149,3 +149,96 @@ class AsvExample(SuperbASV):
         pd.DataFrame(trials, columns=["label", "enroll", "test"]).to_csv(
             workspace / "trials.csv", index=False
         )
+
+
+class _RandomCropDataset:
+    """Random fixed-length training crop (reference: voxceleb2_ge2e/
+    dataset.py:57 max_timestep)."""
+
+    def __init__(self, base, max_timestep: int, seed: int = 0):
+        self.base = base
+        self.max_timestep = max_timestep
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+    def __getitem__(self, i):
+        item = self.base[i]
+        x = item["x"]
+        if len(x) > self.max_timestep:
+            start = self.rng.randint(0, len(x) - self.max_timestep + 1)
+            item["x"] = x[start:start + self.max_timestep]
+        return item
+
+
+class Voxceleb2GE2E(SuperbASV):
+    """GE2E speaker verification (legacy downstream/voxceleb2_ge2e):
+    AdamW 4e-4, 100k steps, batches of 10 speakers x 10 utterances (each
+    cropped to 5 s in training), Identity + SAP embedder, GE2E loss."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["build_downstream"] = {"input_dim": 256}
+        cfg["build_batch_sampler"] = {
+            "speakers_per_batch": 10, "utts_per_speaker": 10,
+        }
+        cfg["build_task"] = {}
+        cfg["build_optimizer"] = {"name": "AdamW", "lr": 4.0e-4}
+        cfg["max_timestep"] = 16000 * 5  # train-time random crop (dataset.py:57)
+        cfg["train"] = {
+            "total_steps": 100000, "log_step": 500, "eval_step": 10**9,
+            "save_step": 10000, "gradient_clipping": 1000.0,
+        }
+        return cfg
+
+    def build_task(self, upstream: SUpstream, encoder: CategoryEncoder, config: dict):
+        from ..nn.speaker import SapSpeakerHead
+
+        head = SapSpeakerHead(**config.get("build_downstream", {}))
+        module = UpstreamDownstreamModel(
+            downstream=head, num_layers=upstream.num_layers,
+            **config.get("build_featurizer", {}),
+        )
+        from ..task.speaker_verification import Ge2eVerificationTask
+
+        utts = config.get("build_batch_sampler", {}).get("utts_per_speaker", 10)
+        return Ge2eVerificationTask(module, utts_per_speaker=utts)
+
+    def build_dataset(self, csv_path, encoder):
+        ds = UtteranceClassificationDataset(csv_path, encoder)
+        max_t = getattr(self, "_max_timestep", None)
+        return _RandomCropDataset(ds, max_t) if max_t else ds
+
+    def build_batch_sampler(self, dataset, mode: str, config: dict):
+        from ..data.sampler import FixedBatchSizeBatchSampler, GE2EBatchSampler
+
+        if mode in ("train", "valid"):
+            labels = [dataset.df.iloc[i]["label"] for i in range(len(dataset))]
+            cfg = config.get("build_batch_sampler", {})
+            return GE2EBatchSampler(
+                labels,
+                speakers_per_batch=cfg.get("speakers_per_batch", 10),
+                utts_per_speaker=cfg.get("utts_per_speaker", 10),
+            )
+        return FixedBatchSizeBatchSampler(len(dataset), 8, shuffle=False)
+
+    def _loader(self, workspace, csv_name, encoder, mode, config):
+        self._max_timestep = config.get("max_timestep") if mode == "train" else None
+        return super()._loader(workspace, csv_name, encoder, mode, config)
+
+
+class Ge2eExample(Voxceleb2GE2E):
+    """Smoke-test GE2E on pseudo speakers."""
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_speakers": 3, "utts_per_speaker": 4}
+        cfg["build_batch_sampler"] = {"speakers_per_batch": 2, "utts_per_speaker": 2}
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 10**9, "save_step": 2}
+        return cfg
+
+    prepare_data = AsvExample.prepare_data

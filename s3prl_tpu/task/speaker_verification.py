@@ -131,3 +131,48 @@ def ge2e_loss(
     return _optax.softmax_cross_entropy_with_integer_labels(
         logits.reshape(N * M, N), labels.reshape(N * M)
     ).mean()
+
+
+class Ge2eVerificationTask(SpeakerVerificationTask):
+    """GE2E-trained speaker verification (reference: downstream/
+    voxceleb2_ge2e/expert.py:118-133): batches are speaker-grouped
+    [N_spk * M_utt] (GE2EBatchSampler order), embeddings reshape to
+    [N, M, D] for the GE2E softmax loss; trials score by cosine like the
+    AM-softmax task. The scale/bias (w init 10, b init -5) are trained
+    parameters (GE2E, Wan et al. 2018)."""
+
+    def __init__(self, module, utts_per_speaker: int = 10):
+        self.module = module
+        self.utts_per_speaker = utts_per_speaker
+        self.host_keys = ("unique_name",)
+
+    valid_metric = "loss"
+    valid_higher_better = False
+
+    def init_params(self, key, hs, h_lens, batch):
+        params = self.module.init(key, hs, h_lens)["params"]
+        params["ge2e_w"] = jnp.float32(10.0)
+        params["ge2e_b"] = jnp.float32(-5.0)
+        return params
+
+    def _embed(self, params, hs, h_lens, rng=None, train=False):
+        module_params = {k: v for k, v in params.items()
+                         if k not in ("ge2e_w", "ge2e_b")}
+        emb = self.module.apply(
+            {"params": module_params}, hs, h_lens, train=train,
+            rngs={"dropout": rng} if train else None,
+        )
+        return emb[0] if isinstance(emb, tuple) else emb
+
+    def loss_and_cache(self, params, hs, h_lens, batch, rng, train):
+        emb = self._embed(params, hs, h_lens, rng, train)
+        M = self.utts_per_speaker
+        B, D = emb.shape
+        N = B // M
+        # GE2E's w must stay positive (Wan et al. 2018 eq. 5 gradient note)
+        w = jnp.maximum(params["ge2e_w"], 1e-6)
+        loss = ge2e_loss(emb[: N * M].reshape(N, M, D), w, params["ge2e_b"])
+        return loss, {"loss": loss, "embedding": emb}
+
+    def reduction(self, mode: str, records: List[Dict[str, Any]]) -> Dict[str, float]:
+        return {"loss": float(np.mean([float(r["loss"]) for r in records]))}

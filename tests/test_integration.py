@@ -201,6 +201,31 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
 
 
+def test_ge2e_example(tmp_path):
+    """GE2E ASV end-to-end: speaker-grouped batches, GE2E loss, trial EER."""
+    from s3prl_tpu.problem import Ge2eExample
+
+    problem = Ge2eExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["eer"] <= 1.0
+
+
+def test_mos_example(tmp_path):
+    """MOS prediction end-to-end: segment/judge-bias losses, LCC/SRCC eval."""
+    from s3prl_tpu.problem import MosExample
+
+    problem = MosExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert np.isfinite(logs["utt_MSE"])
+    assert "sys_MSE" in logs
+
+
 def test_st_example(tmp_path):
     """ST end-to-end: BPE tokenizer, encoder-decoder training, BLEU eval."""
     from s3prl_tpu.problem import StExample
