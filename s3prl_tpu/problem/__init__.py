@@ -25,6 +25,7 @@ from .hear import (
     HearVoxLingual,
 )
 from .mos import MosExample, MosPrediction
+from .slu import MoseiSentiment, SluATIS, SluAudioSnips, SluExample
 from .qbe import QbeDTW, QbeExample
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST

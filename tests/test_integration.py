@@ -201,6 +201,17 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
 
 
+def test_slu_example(tmp_path):
+    """SLU end-to-end: transformer+SAP intent head (atis-style recipe)."""
+    from s3prl_tpu.problem import SluExample
+
+    problem = SluExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    assert "accuracy" in results["evaluate_stage"]["test"]
+
+
 def test_ge2e_example(tmp_path):
     """GE2E ASV end-to-end: speaker-grouped batches, GE2E loss, trial EER."""
     from s3prl_tpu.problem import Ge2eExample

@@ -41,12 +41,16 @@ DT = jnp.bfloat16
 
 
 def timeit(fn, *args):
-    """fn must return a scalar; on-device loop with data dependency."""
+    """fn must return a scalar; on-device loop with data dependency.
+    Best-of-REPS timed runs (tunnel jitter is several ms per fetch)."""
     out = fn(*args)
     float(np.asarray(out))  # compile + warmup
-    t0 = time.perf_counter()
-    float(np.asarray(fn(*args)))
-    return (time.perf_counter() - t0) / ITERS
+    best = float("inf")
+    for _ in range(int(os.environ.get("REPS", 3))):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(*args)))
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS
 
 
 def report(component, ms, flops_per_iter, notes=""):
@@ -145,6 +149,48 @@ def bench_conv(impl="conv"):
         macs += t * cin * c * k
         cin = c
     report(f"conv_{impl}", ms, 2 * macs * B, f"out_T={t}")
+
+
+def bench_conv_prefix():
+    """Cumulative-prefix timing of the REAL production conv chain: build the
+    extractor truncated to the first k layers for k=1..7 and report diffs.
+    Unlike bench_conv_layers (standalone per-layer modules whose chaining
+    dep re-reads the full input every iteration), this measures each layer
+    inside the exact production program, inter-layer effects included."""
+    from s3prl_tpu.models.convfe import ConvFeatureExtractor, DEFAULT_CONV_LAYERS
+
+    layers = tuple((512, k, s) for (_, k, s) in DEFAULT_CONV_LAYERS)
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
+    prev_ms = 0.0
+    t = T_WAV
+    cin = 1
+    for n in range(1, len(layers) + 1):
+        mod = ConvFeatureExtractor(layers[:n], "layer_norm", False, DT,
+                                   quantize=os.environ.get("BENCH_QUANT", "1") == "1")
+        params = jax.jit(mod.init)(jax.random.key(0), wavs)
+
+        @jax.jit
+        def loop(params, wavs, mod=mod):
+            def body(i, carry):
+                w, acc = carry
+                f = mod.apply(params, w)
+                dep = 0.0 * f[:, 0, :1].astype(w.dtype).mean(-1, keepdims=True)
+                return (w + dep, acc + f[0, 0, 0].astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, ITERS, body, (wavs, jnp.float32(0)))
+            return acc
+
+        sec = timeit(loop, params, wavs)
+        c, k, s = layers[n - 1]
+        t_out = (t - k) // s + 1
+        macs = B * t_out * cin * c * k
+        delta = sec - prev_ms
+        report(f"conv_prefix{n}", sec, 0,
+               f"delta_ms={delta * 1e3:.2f} layer{n - 1} k={k} "
+               f"layer_tflops={2 * macs / max(delta, 1e-9) / 1e12:.1f}")
+        prev_ms = sec
+        t, cin = t_out, c
 
 
 def bench_posconv():
@@ -339,6 +385,8 @@ if __name__ == "__main__":
                 bench_attn_official()
             elif c == "conv_layers":
                 bench_conv_layers()
+            elif c == "conv_prefix":
+                bench_conv_prefix()
             elif c == "posconv":
                 bench_posconv()
             elif c == "encoder":
