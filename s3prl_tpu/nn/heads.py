@@ -166,3 +166,45 @@ class RNNEncoder(nn.Module):
             xs = nn.Dense(self.proj_size, name=f"proj_{i}")(xs)
             xs = nn.Dropout(self.dropout)(xs, deterministic=not train)
         return nn.Dense(self.output_size, name="final")(xs), xs_len
+
+
+class FrameConcatLinear(nn.Module):
+    """Concat +-(n//2) neighbouring frames then linear (reference:
+    downstream/phone_linear_concat — modelrc concat_n_frames 9)."""
+
+    output_size: int
+    concat_n_frames: int = 9
+
+    @nn.compact
+    def __call__(self, xs, xs_len, train: bool = False):
+        n = self.concat_n_frames
+        half = n // 2
+        shifted = [
+            jnp.roll(xs, shift, axis=1) for shift in range(half, -half - 1, -1)
+        ]
+        xs = jnp.concatenate(shifted, axis=-1)
+        return nn.Dense(self.output_size, name="linear")(xs), xs_len
+
+
+class ConvBankHead(nn.Module):
+    """Parallel same-padding conv bank probe (reference: downstream/
+    timit_phone/model.py:14-42): linear -> relu -> dropout -> convs of each
+    kernel size -> concat -> relu -> dropout -> linear."""
+
+    output_size: int
+    kernels: Tuple[int, ...] = (3, 5, 7)
+    cnn_size: int = 32
+    hidden_size: int = 64
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, xs, xs_len, train: bool = False):
+        h = nn.relu(nn.Dense(self.hidden_size, name="in_linear")(xs))
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        feats = [
+            nn.Conv(self.cnn_size, (k,), padding="SAME", name=f"cnn_{i}")(h)
+            for i, k in enumerate(self.kernels)
+        ]
+        h = nn.relu(jnp.concatenate(feats, axis=-1))
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return nn.Dense(self.output_size, name="out_linear")(h), xs_len

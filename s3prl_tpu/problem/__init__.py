@@ -24,6 +24,19 @@ from .hear import (
     HearVocal,
     HearVoxLingual,
 )
+from .frame_probe import (
+    FrameProbeExample,
+    LibriPhone1Hidden,
+    LibriPhoneConcat,
+    LibriPhoneLinear,
+    SpeakerLinearFrame,
+    SpeakerLinearUtter,
+    TimitPhone1Hidden,
+    TimitPhoneConcat,
+    TimitPhoneConvBank,
+    TimitPhoneLinear,
+    Voxceleb1FrameLevel,
+)
 from .mos import MosExample, MosPrediction
 from .slu import MoseiSentiment, SluATIS, SluAudioSnips, SluExample
 from .qbe import QbeDTW, QbeExample

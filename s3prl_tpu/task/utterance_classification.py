@@ -86,3 +86,60 @@ class UtteranceMultiClassClassificationTask(Task):
         correct = (preds == labels).all(axis=-1)
         losses = [float(r["loss"]) for r in records]
         return {"accuracy": float(correct.mean()), "loss": float(np.mean(losses))}
+
+
+class FrameClassificationTask(Task):
+    """Frame-level classification probe (reference: downstream/phone_linear/
+    expert.py:123-165 and the speaker/voxceleb1_framelevel variants):
+    per-frame CE over aligned frame labels; features and labels are matched
+    by truncation to the shorter sequence (reference _match_length), frames
+    with label < 0 (padding) are masked; accuracy is frame-weighted.
+
+    Batches carry either 'frame_labels' [B, T_lab] (padded with -100) or a
+    per-utterance 'class_id' broadcast over the valid frames."""
+
+    def __init__(self, module, num_classes: int):
+        self.module = module
+        self.num_classes = num_classes
+        self.host_keys = ("unique_name",)
+
+    valid_metric = "accuracy"
+    valid_higher_better = True
+
+    def loss_and_cache(self, params, hs, h_lens, batch, rng, train):
+        out = self.module.apply(
+            {"params": params}, hs, h_lens, train=train,
+            rngs={"dropout": rng} if train else None,
+        )
+        logits, out_lens = out if isinstance(out, tuple) else (out, h_lens)
+        B, T = logits.shape[:2]
+        frame_valid = jnp.arange(T)[None, :] < out_lens[:, None]
+        if "frame_labels" in batch:
+            labels = batch["frame_labels"]
+            Tm = min(T, labels.shape[1])
+            logits = logits[:, :Tm]
+            labels = labels[:, :Tm]
+            valid = frame_valid[:, :Tm] & (labels >= 0)
+        else:
+            labels = jnp.broadcast_to(batch["class_id"][:, None], (B, T))
+            valid = frame_valid
+            Tm = T
+        safe_labels = jnp.maximum(labels, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), safe_labels)
+        denom = jnp.maximum(valid.sum(), 1)
+        loss = jnp.where(valid, ce, 0.0).sum() / denom
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.where(valid, (pred == safe_labels), False)
+        return loss, {
+            "loss": loss,
+            "n_correct": correct.sum(),
+            "n_frames": valid.sum(),
+        }
+
+    def reduction(self, mode: str, records: List[Dict[str, Any]]) -> Dict[str, float]:
+        n_correct = float(np.sum([float(r["n_correct"]) for r in records]))
+        n_frames = float(np.sum([float(r["n_frames"]) for r in records]))
+        losses = [float(r["loss"]) for r in records]
+        return {"accuracy": n_correct / max(n_frames, 1.0),
+                "loss": float(np.mean(losses))}

@@ -201,6 +201,18 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
 
 
+def test_frame_probe_example(tmp_path):
+    """Frame-level probe end-to-end: aligned frame labels, frame accuracy."""
+    from s3prl_tpu.problem import FrameProbeExample
+
+    problem = FrameProbeExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["accuracy"] <= 1.0
+
+
 def test_slu_example(tmp_path):
     """SLU end-to-end: transformer+SAP intent head (atis-style recipe)."""
     from s3prl_tpu.problem import SluExample

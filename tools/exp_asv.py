@@ -26,10 +26,15 @@ def main():
     suite = AsvConvergence()
     cfg = suite.default_config()
     h = int(os.environ.get("ASV_HIDDEN", 64))
+    cfg["prepare_data"] = {
+        "num_speakers": int(os.environ.get("ASV_SPK", 24)),
+        "utts_per_speaker": int(os.environ.get("ASV_UTTS", 20)),
+    }
     cfg["build_downstream"] = {
         "output_size": int(os.environ.get("ASV_OUT", 64)),
         "hidden_size": h,
         "aggregation_size": int(os.environ.get("ASV_AGG", 2 * h)),
+        "dropout_p": float(os.environ.get("ASV_DROPOUT", 0.0)),
     }
     cfg["build_task"] = {"margin": float(os.environ.get("ASV_MARGIN", 0.1)),
                          "scale": float(os.environ.get("ASV_SCALE", 30.0))}
