@@ -40,6 +40,7 @@ from .frame_probe import (
 from .mos import MosExample, MosPrediction
 from .slu import MoseiSentiment, SluATIS, SluAudioSnips, SluExample
 from .qbe import QbeDTW, QbeExample
+from .qbe_embedding import QbeEmbeddingExample, QbeEmbeddingQuesst14, Sws2013Embedding
 from .enhancement import SeExample, SuperbSE, SuperbSS
 from .translation import StExample, SuperbST
 from .vc import VcExample, VcVcc2020

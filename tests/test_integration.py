@@ -201,6 +201,19 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
 
 
+def test_qbe_embedding_example(tmp_path):
+    """Learned QbE end-to-end: pair cosine-embedding loss, retrieval AUC."""
+    from s3prl_tpu.problem import QbeEmbeddingExample
+
+    problem = QbeEmbeddingExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert np.isfinite(logs["loss"])
+    assert "pair_auc" in logs
+
+
 def test_frame_probe_example(tmp_path):
     """Frame-level probe end-to-end: aligned frame labels, frame accuracy."""
     from s3prl_tpu.problem import FrameProbeExample
