@@ -61,22 +61,28 @@ class XVectorBackbone(nn.Module):
 
 
 class SuperbXvector(nn.Module):
-    """x-vector extractor: (hs_features[B,T,H], lens[B]) -> emb[B, output]."""
+    """x-vector extractor: (hs_features[B,T,H], lens[B]) -> emb[B, output].
+
+    `pooling` selects the aggregation (reference agg_module: SP = statistics
+    pooling for sv_voxceleb1, SAP for voxceleb2_amsoftmax_segment_eval)."""
 
     output_size: int = 512
     hidden_size: int = 512
     aggregation_size: int = 1500
     dropout_p: float = 0.0
     batch_norm: bool = False
+    pooling: str = "TemporalStatisticsPooling"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_len: jnp.ndarray, train: bool = False):
+        from .heads import POOLINGS
+
         x = nn.Dense(self.hidden_size, name="projector")(x)
         x = XVectorBackbone(
             self.aggregation_size, self.dropout_p, self.batch_norm, name="tdnns"
         )(x, train=train)
         x_len = jnp.maximum(x_len - XVECTOR_TDNNS_LENGTH_REDUCTION, 1)
-        pooled = TemporalStatisticsPooling(name="pool")(x, x_len)
+        pooled = POOLINGS[self.pooling](name="pool")(x, x_len)
         h = nn.relu(nn.Dense(self.output_size, name="affine1")(pooled))
         # the reference's _UtteranceExtractor applies a second affine layer in
         # training only; create it unconditionally so the param tree is

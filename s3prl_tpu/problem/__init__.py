@@ -1,7 +1,14 @@
 from .base import Problem
 from .common import CommonExample, IcExample, SuperbER, SuperbIC, SuperbKS, SuperbSID
 from .asr import AsrExample, SuperbASR, SuperbPR, SuperbSF
-from .asv import AsvExample, Ge2eExample, SuperbASV, Voxceleb2GE2E
+from .asv import (
+    AmsoftmaxSegmentExample,
+    AsvExample,
+    Ge2eExample,
+    SuperbASV,
+    Voxceleb2AMSoftmaxSegment,
+    Voxceleb2GE2E,
+)
 from .diarization import SdExample, SuperbSD
 from .hear import (
     HearBeijingOpera,

@@ -242,3 +242,95 @@ class Ge2eExample(Voxceleb2GE2E):
         return cfg
 
     prepare_data = AsvExample.prepare_data
+
+
+class Voxceleb2AMSoftmaxSegment(SuperbASV):
+    """AM-softmax speaker verification with SEGMENT evaluation (legacy
+    downstream/voxceleb2_amsoftmax_segment_eval): Adam 5e-4, 100k steps,
+    accum 5, batch 10, x-vector with self-attentive pooling (agg SAP,
+    agg_dim 1500); test utterances unfold into 8 s windows with 4 s stride
+    (segment_config window 128000 / stride 64000), per-utterance embedding =
+    mean of unit-normalized segment embeddings."""
+
+    SEG_WINDOW = 128000
+    SEG_STRIDE = 64000
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["build_downstream"] = {"output_size": 512, "hidden_size": 512,
+                                   "aggregation_size": 1500,
+                                   "pooling": "SelfAttentivePooling"}
+        cfg["build_optimizer"] = {"name": "Adam", "lr": 5.0e-4}
+        cfg["train"]["total_steps"] = 100000
+        return cfg
+
+    def evaluate_stage(self, workspace: Path, config: dict):
+        """Segment-unfold embedding extraction + trial cosine scoring."""
+        import jax
+
+        from ..train import checkpoint as ckpt
+        from ..train.trainer import _split_batch
+
+        encoder = CategoryEncoder.load(workspace / "encoder.json")
+        upstream = self.build_upstream(**config.get("build_upstream", {}))
+        task = self.build_task(upstream, encoder, config)
+        trainer = Trainer(
+            upstream.upstream, task, workspace / "train",
+            TrainerConfig(optimizer=config.get("build_optimizer", {"name": "Adam", "lr": 5e-4}),
+                          **config.get("train", {})),
+        )
+        loader = self._loader(workspace, "test.csv", encoder, "test", config)
+        trainer.init(next(iter(loader)), resume=False)
+        load_dir = ckpt.latest_checkpoint(workspace / "train")
+        if load_dir is not None:
+            trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
+
+        df = pd.read_csv(workspace / "test.csv")
+        ds = UtteranceClassificationDataset(workspace / "test.csv", encoder)
+        emb_by_name = {}
+        for i in range(len(ds)):
+            item = ds[i]
+            wav = item["x"]
+            starts = list(range(0, max(len(wav) - self.SEG_WINDOW, 0) + 1,
+                                self.SEG_STRIDE)) or [0]
+            segs = np.zeros((len(starts), min(self.SEG_WINDOW, len(wav))),
+                            np.float32)
+            for j, s in enumerate(starts):
+                chunk = wav[s:s + self.SEG_WINDOW]
+                segs[j, :len(chunk)] = chunk
+            lens = np.asarray([min(len(wav) - s, self.SEG_WINDOW)
+                               for s in starts], np.int32)
+            hs, h_lens = trainer.upstream(segs, lens)
+            emb = np.asarray(task._embed(trainer.params, hs, h_lens))
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+            emb_by_name[item["unique_name"]] = emb.mean(axis=0)
+
+        trials_df = pd.read_csv(workspace / "trials.csv")
+        trials = [
+            (int(r["label"]), r["enroll"].replace("/", "-"), r["test"].replace("/", "-"))
+            for _, r in trials_df.iterrows()
+        ]
+        logs = SpeakerVerificationTask.score_trials(emb_by_name, trials)
+        with open(workspace / "result.yaml", "w") as f:
+            yaml.safe_dump({"test": logs}, f)
+        return {"test": logs}
+
+
+class AmsoftmaxSegmentExample(Voxceleb2AMSoftmaxSegment):
+    """Smoke-test the segment-eval ASV variant on pseudo speakers."""
+
+    SEG_WINDOW = 8000
+    SEG_STRIDE = 4000
+
+    def default_config(self) -> dict:
+        cfg = super().default_config()
+        cfg["prepare_data"] = {"num_speakers": 3, "utts_per_speaker": 4}
+        cfg["build_downstream"] = {"output_size": 32, "hidden_size": 32,
+                                   "aggregation_size": 64,
+                                   "pooling": "SelfAttentivePooling"}
+        cfg["build_batch_sampler"] = {"batch_size": 4}
+        cfg["train"] = {"total_steps": 4, "log_step": 2, "eval_step": 10**9,
+                        "save_step": 2}
+        return cfg
+
+    prepare_data = AsvExample.prepare_data

@@ -61,8 +61,10 @@ class VcVcc2020(Problem):
             "build_upstream": {"name": "fbank"},
             "build_downstream": {"lstm_units": 512, "num_lstm_layers": 2},
             "build_batch_sampler": {"batch_size": 6},
-            "build_optimizer": {"name": "Adam", "lr": 1.0e-4},
-            "train": {"total_steps": 50000, "log_step": 500, "eval_step": 2000, "save_step": 1000},
+            # AdamW 1e-4, 10k steps, batch 6 (legacy a2o-vc-vcc2020/
+            # config.yaml; the a2a-vc-vctk variant trains 50k)
+            "build_optimizer": {"name": "AdamW", "lr": 1.0e-4},
+            "train": {"total_steps": 10000, "log_step": 500, "eval_step": 2000, "save_step": 1000},
         }
 
     def prepare_data(self, workspace: Path, config: dict):

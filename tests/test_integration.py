@@ -201,6 +201,18 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
 
 
+def test_amsoftmax_segment_example(tmp_path):
+    """Segment-eval ASV: unfolded test windows, mean-normalized embeddings."""
+    from s3prl_tpu.problem import AmsoftmaxSegmentExample
+
+    problem = AmsoftmaxSegmentExample()
+    config = problem.default_config()
+    config.pop("target_dir")
+    results = problem.run(str(tmp_path), **config)
+    logs = results["evaluate_stage"]["test"]
+    assert 0.0 <= logs["eer"] <= 1.0
+
+
 def test_qbe_embedding_example(tmp_path):
     """Learned QbE end-to-end: pair cosine-embedding loss, retrieval AUC."""
     from s3prl_tpu.problem import QbeEmbeddingExample
