@@ -4,8 +4,9 @@ Stage 0: VCC2020-style data — source-speaker utterances paired with target-
 speaker references sharing the transcript; CSVs carry the source wav and the
 target wav whose log-mel is the training target. Stage 1 train the Taco2-AR
 decoder over frozen upstream features (frame-aligned to the target mel via
-trim). Stage 2 evaluate MCD. Waveform synthesis (the reference downloads an
-external neural vocoder) is out of scope this round.
+trim). Stage 2 evaluate DTW-MCD and synthesize waveforms with the native
+Griffin-Lim vocoder (ops/vocoder.py; the reference downloads an external
+neural vocoder instead).
 """
 
 from __future__ import annotations
