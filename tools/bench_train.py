@@ -6,23 +6,21 @@ its step in the frozen upstream forward (SURVEY §3.1 hot loop). This bench
 measures full train-step throughput of the equivalent path here:
 
   frozen HuBERT-Large (int8 serving forward by default, BENCH_QUANT=0 for
-  bf16) -> stop_gradient -> Featurizer weighted sum -> UtteranceLevel probe
-  -> CE loss -> Adam update of the featurizer+head params,
+  bf16) -> Featurizer weighted sum -> UtteranceLevel probe -> CE loss ->
+  Adam update of the featurizer+head params.
 
-one jitted step, stepped in an on-device fori_loop (host timing lies on the
-axon tunnel — same protocol as bench.py). Because the upstream is frozen,
-the forward-only serving kernels are legal inside the training step; XLA
-dead-code-eliminates the upstream backward entirely.
+Protocol note (round 3): the monolithic train-step program (upstream +
+probe fwd/bwd in ONE jit) repeatedly kills the axon tunnel's remote-compile
+service ("Broken pipe" after 30-55 min, rounds 2 and 3), while bench.py's
+structurally-identical extraction program compiles in minutes. So the step
+runs as TWO chained device programs — (1) the proven-compilable frozen
+extraction, (2) the probe fwd/bwd/Adam on the extracted states — async-
+dispatched back-to-back with a data dependency, which is exactly what the
+step costs end-to-end (the probe is ~1% of FLOPs; the upstream backward is
+dead under stop_gradient either way). Marginal time between two chain
+lengths cancels tunnel RTT + dispatch (see tools/bench_components.py).
 
 Prints one JSON line {"metric", "value", "unit"}.
-
-Status note (round 2): the program compiles and runs on CPU (validated
-end-to-end at a small protocol) but the axon tunnel's remote-compile
-service repeatedly dropped the connection ("Broken pipe") after ~40-55 min
-compiling this program on the real chip — an infra limitation, not a code
-path issue (bench.py's near-identical extraction program compiles there).
-Expected on-chip result ≈ the extraction throughput: the frozen upstream
-forward is ~99% of the step's FLOPs and XLA DCEs its backward.
 """
 
 import json
@@ -49,7 +47,7 @@ from s3prl_tpu.nn.upstream import UpstreamDownstreamModel
 
 B = int(os.environ.get("BENCH_BATCH", 32))
 SECS = float(os.environ.get("BENCH_SECS", 10.0))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 9))
 NUM_CLASSES = 10
 
 
@@ -67,9 +65,6 @@ def main():
     model = UpstreamDownstreamModel(
         downstream=UtteranceLevel(NUM_CLASSES), num_layers=up.num_layers
     )
-    # init without compiling the upstream forward a second time: eval_shape
-    # gives the hidden-state shapes for free, and the (small) head init is
-    # one fast jit — only the train loop below compiles the big program
     hs_s, hl_s = jax.eval_shape(
         lambda w, l: up.apply_standardized(up.params, w, l), wavs, lens)
     tparams = jax.jit(
@@ -79,39 +74,41 @@ def main():
     opt = optax.adam(1e-4)
     opt_state = opt.init(tparams)
 
+    # program 1: the frozen upstream forward (bench.py's program)
+    @jax.jit
+    def extract(params, wavs, lens):
+        return up.apply_standardized(params, wavs, lens)
+
     def loss_fn(tparams, hs, h_lens, labels):
         logits = model.apply({"params": tparams}, hs, h_lens)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), labels
         ).mean()
 
+    # program 2: probe forward/backward/Adam over the extracted states
     @jax.jit
-    def train_step(tparams, opt_state, wavs, lens, labels):
-        hs, h_lens = up.apply_standardized(up.params, wavs, lens)
-        hs = jax.lax.stop_gradient(hs)  # frozen upstream (SUPERB protocol)
+    def probe_step(tparams, opt_state, hs, h_lens, labels):
         loss, grads = jax.value_and_grad(loss_fn)(tparams, hs, h_lens, labels)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(tparams, updates), opt_state, loss
 
-    # Round-3 protocol: compile ONE step (the round-2 fori_loop wrapper blew
-    # past the tunnel compile-service limit, header note) and chain N async
-    # dispatches through the device-resident (tparams, opt_state) — a true
-    # data dependency — fetching only the last loss. Marginal time between
-    # two chain lengths cancels the tunnel round-trip + dispatch overheads.
-    def chain(n, tp, st):
+    def chain(n, tp, st, w):
         loss = None
         for _ in range(n):
-            tp, st, loss = train_step(tp, st, wavs, lens, labels)
+            hs, h_lens = extract(up.params, w, lens)
+            tp, st, loss = probe_step(tp, st, hs, h_lens, labels)
+            # data-dependency into the next extract so iterations serialize
+            w = w + (0.0 * loss).astype(w.dtype)
         return float(np.asarray(loss))  # host fetch = sync
 
-    chain(1, tparams, opt_state)  # compile + warm
+    chain(1, tparams, opt_state, wavs)  # compile + warm both programs
     lo, hi = max(ITERS // 3, 1), ITERS
     times = {}
     for n in (lo, hi):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            chain(n, tparams, opt_state)
+            chain(n, tparams, opt_state, wavs)
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     per_step = (times[hi] - times[lo]) / (hi - lo)
