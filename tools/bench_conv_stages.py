@@ -119,8 +119,39 @@ def main():
             yn = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
             return nn.gelu(yn, approximate=GELU_TANH).astype(x.dtype)
 
+        def im2col_stage(x, ki=ki, dim=dim, k=k, st=st):
+            # patches + ONE [B*T', C*k] @ [C*k, dim] GEMM (the lowering
+            # _Im2ColConvGeneral uses), LN+GELU epilogue left to XLA fusion
+            patches = jax.lax.conv_general_dilated_patches(
+                jnp.transpose(x, (0, 2, 1)), (k,), (st,), "VALID")  # [B,C*k,T']
+            w = ki.astype(x.dtype).transpose(1, 0, 2).reshape(512 * k, dim)
+            y = jnp.einsum("bft,fo->bto", patches, w)
+            yn = (y.astype(jnp.float32)
+                  - jnp.mean(y.astype(jnp.float32), -1, keepdims=True))
+            yn = yn * jax.lax.rsqrt(
+                jnp.var(y.astype(jnp.float32), -1, keepdims=True) + 1e-5)
+            return nn.gelu(yn, approximate=GELU_TANH).astype(x.dtype)
+
+        def pertap_stage(x, ki=ki, dim=dim, k=k, st=st):
+            # k strided slices, each one [B,T',C] @ [C,dim] GEMM, accumulated
+            t_o = (x.shape[1] - k) // st + 1
+            y = None
+            for t in range(k):
+                xt = x[:, t : t + (t_o - 1) * st + 1 : st]
+                part = jnp.einsum("btc,co->bto", xt, ki[t].astype(x.dtype))
+                y = part if y is None else y + part
+            yn = (y.astype(jnp.float32)
+                  - jnp.mean(y.astype(jnp.float32), -1, keepdims=True))
+            yn = yn * jax.lax.rsqrt(
+                jnp.var(y.astype(jnp.float32), -1, keepdims=True) + 1e-5)
+            return nn.gelu(yn, approximate=GELU_TANH).astype(x.dtype)
+
         s = _marginal(xla_stage, x)
         emit(f"xla_conv{i}_k{k}", s, flops, bytes_)
+        s = _marginal(im2col_stage, x)
+        emit(f"im2col_conv{i}_k{k}", s, flops, bytes_)
+        s = _marginal(pertap_stage, x)
+        emit(f"pertap_conv{i}_k{k}", s, flops, bytes_)
 
         interp = jax.default_backend() == "cpu"
         fk = functools.partial(fused_conv_ln_gelu, interpret=interp)
