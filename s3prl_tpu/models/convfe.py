@@ -290,19 +290,22 @@ class ConvFeatureExtractor(nn.Module):
         for i, (dim, k, stride) in enumerate(self.conv_layers):
             if i == 0 and fuse0:
                 continue  # handled by the fused kernel above
+            # S3PRL_CONV_IMPL overrides the mid-conv lowering for on-chip
+            # A/B (conv | im2col | int8) without re-constructing the model
+            impl = os.environ.get("S3PRL_CONV_IMPL") or self.impl
             if i == 0:
                 # the C_in=1 waveform conv lowers poorly onto the MXU;
                 # _Im2ColConv computes the identical op as a patches matmul
                 # (same param path/shape as nn.Conv for ckpt compatibility)
                 x = _Im2ColConv(dim, k, stride, self.conv_bias, self.dtype, name="conv_0")(x)
-            elif self.impl == "int8" and not train:
+            elif impl == "int8" and not train:
                 # measured SLOWER than the XLA bf16 conv on the axon tunnel
                 # chip (full path 131 ms vs 98 ms, tools/bench_components.py)
                 # — selectable for real-v5e runs, not routed by `quantize`
                 x = _Int8MidConv(
                     dim, k, stride, self.conv_bias, self.dtype, name=f"conv_{i}"
                 )(x)
-            elif self.impl == "im2col":
+            elif impl == "im2col":
                 x = _Im2ColConvGeneral(
                     dim, k, stride, self.conv_bias, self.dtype, name=f"conv_{i}"
                 )(x)

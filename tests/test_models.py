@@ -54,6 +54,21 @@ def test_conv_lengths_match_actual():
     assert out.shape[1] == want
 
 
+def test_conv_im2col_impl_matches_conv():
+    """_Im2ColConvGeneral (patches + one GEMM) is numerically the XLA conv
+    on identical params — the serving A/B lowering must not change outputs."""
+    layers = ((64, 10, 5), (64, 3, 2), (64, 2, 2))
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 3200).astype(np.float32))
+    fe = ConvFeatureExtractor(layers, mode="layer_norm")
+    variables = fe.init(jax.random.key(0), wav)
+    ref = fe.apply(variables, wav)
+    alt = ConvFeatureExtractor(layers, mode="layer_norm", impl="im2col").apply(
+        variables, wav
+    )
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("cfg", [TINY, TINY_PRELN], ids=["postln", "preln"])
 def test_trunk_hidden_state_layout(cfg):
     rng = np.random.RandomState(0)
