@@ -782,16 +782,63 @@ def load_cpc_checkpoint(path: str):
     return cfg, cpc_params_from_torch(sd, cfg)
 
 
+def _native_pretrain_msgpack(path):
+    """Resolve `path` to a restored native param tree, or None if `path` is
+    not a native (flax msgpack) checkpoint. Accepts the .msgpack file, a
+    Trainer step dir, or a train dir of step_N subdirs (latest wins)."""
+    from pathlib import Path as _Path
+
+    p = _Path(path)
+    if p.is_dir():
+        if (p / "params.msgpack").exists():
+            p = p / "params.msgpack"
+        else:
+            steps = sorted(
+                (d for d in p.glob("step_*") if (d / "params.msgpack").exists()),
+                key=lambda d: int(d.name.split("_")[1]),
+            )
+            if not steps:
+                return None
+            p = steps[-1] / "params.msgpack"
+    if p.suffix != ".msgpack":
+        return None
+    from flax import serialization
+
+    return serialization.msgpack_restore(p.read_bytes())
+
+
 def load_mel_ssl_checkpoint(name: str, path: str):
     """Load a mel-domain SSL pretraining ckpt -> variables.
 
     Dispatches by family:
-    - apc / vq_apc / npc ckpts store {"config", "model"} (apc/expert.py:22-27,
-      npc/expert.py:22-26);
-    - mockingjay / tera / audio_albert on-the-fly ckpts store
+    - NATIVE checkpoints from this framework's own pretrain recipes
+      (run_pretrain.py / problem/pretrain.py): a Trainer step dir containing
+      `params.msgpack`, an experiment train dir (latest step is picked), or
+      the .msgpack file itself — the pretrain task's encoder subtree is
+      extracted, closing the reference's pretrain->upstream loop
+      (run_downstream.py -u tera -k <ckpt>, runner.py:66-79);
+    - apc / vq_apc / npc torch ckpts store {"config", "model"}
+      (apc/expert.py:22-27, npc/expert.py:22-26);
+    - mockingjay / tera / audio_albert on-the-fly torch ckpts store
       {"SelfSupervisedLearning"/"Transformer": state_dict, config}; raw
       state_dicts with `transformer.`/`encoder.layer.` keys also accepted.
     """
+    native = _native_pretrain_msgpack(path)
+    if native is not None:
+        subtree_key = (
+            "encoder" if name.startswith(("mockingjay", "tera", "audio_albert"))
+            else "apc" if name.startswith(("apc", "vq_apc"))
+            else None
+        )
+        if subtree_key is None or subtree_key not in native:
+            raise ValueError(
+                f"native pretrain checkpoint {path} has top-level keys "
+                f"{sorted(native)} — expected a '{subtree_key}' subtree for "
+                f"upstream '{name}' (supported native round trips: "
+                "mockingjay/tera/audio_albert, apc/vq_apc)"
+            )
+        return {"params": native[subtree_key]}
+
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

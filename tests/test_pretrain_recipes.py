@@ -90,3 +90,55 @@ def test_pretrain_distiller_full_run(tmp_path):
         },
     )
     _run_and_check(problem, tmp_path)
+
+
+def test_native_pretrain_ckpt_loads_as_upstream(tmp_path):
+    """The pretrain -> upstream loop with OUR OWN checkpoints (reference:
+    run_downstream.py -u tera -k <ckpt from run_pretrain>, runner.py:66-79):
+    a Trainer-format step dir loads through hub.load('tera', ckpt=...) and
+    the upstream's hidden states match a direct encoder apply exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from s3prl_tpu import hub
+    from s3prl_tpu.models.mockingjay import MockingjayConfig, MockingjayEncoder
+    from s3prl_tpu.problem.pretrain import _mam_model
+    from s3prl_tpu.train.checkpoint import save_checkpoint
+
+    cfg = MockingjayConfig(input_dim=80)  # the registry 'tera' architecture
+    task_module = _mam_model(cfg, output_dim=80)
+    feats = jnp.zeros((1, 50, 80))
+    params = task_module.init(jax.random.key(3), feats, jnp.array([50]))["params"]
+    assert set(params) == {"encoder", "head"}
+    train_dir = tmp_path / "train"
+    save_checkpoint(train_dir, 2, params)
+    save_checkpoint(train_dir, 4, params)
+
+    up = hub.load("tera", ckpt=str(train_dir))  # latest step_4 is picked
+    wavs = jnp.asarray(np.random.RandomState(0).randn(2, 16000).astype(np.float32))
+    lens = jnp.asarray([16000, 12000], jnp.int32)
+    hs, h_lens = up.apply_standardized(up.params, wavs, lens)
+    assert hs.shape[0] == cfg.num_hidden_layers + 1
+    assert not np.any(np.isnan(np.asarray(hs)))
+
+    # exact parity vs a direct encoder apply on the same features
+    from s3prl_tpu.ops import audio as audio_ops
+
+    mel, mel_lens = audio_ops.log_mel(wavs, lens, n_mels=80)
+    mel = audio_ops.cmvn(mel, mel_lens)
+    ref_hs, _ = MockingjayEncoder(cfg).apply(
+        {"params": params["encoder"]}, mel, mel_lens, deterministic=True
+    )
+    # apply_standardized trims to the packaged-API length rule
+    # ((len-1)//160+1), one frame short of the raw mel frame count —
+    # compare each utterance over its standardized valid frames
+    for b in range(2):
+        n = int(h_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(hs[-1][b, :n]), np.asarray(ref_hs[-1][b, :n]), atol=1e-5
+        )
+
+    # a step dir (not just the train dir) also resolves
+    up2 = hub.load("tera", ckpt=str(train_dir / "step_2"))
+    hs2, _ = up2.apply_standardized(up2.params, wavs, lens)
+    np.testing.assert_allclose(np.asarray(hs2), np.asarray(hs), atol=1e-6)
