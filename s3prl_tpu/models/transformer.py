@@ -70,7 +70,46 @@ class ConvPositionalEmbedding(nn.Module):
                 )(x).astype(self.dtype)
                 x = nn.gelu(x, approximate=False)
             return x
-        pad = self.kernel_size // 2
+        import os
+
+        from ..kernels.posconv import TC as _PTC
+
+        k = self.kernel_size
+        if (
+            os.environ.get("S3PRL_POSCONV") == "pallas"
+            and k % 2 == 0 and k % _PTC == 0
+            and self.features % self.groups == 0
+            and x.shape[1] <= 2048  # kernel VMEM bound; XLA beyond
+        ):
+            # grouped-conv-as-long-K-GEMMs Pallas kernel (kernels/posconv.py)
+            # — opt-in A/B knob for serving; identical param path to nn.Conv
+            from ..kernels.posconv import pos_conv_gelu
+
+            class _ConvParams(nn.Module):
+                shape: tuple
+
+                @nn.compact
+                def __call__(self):
+                    kern = self.param(
+                        "kernel", nn.initializers.lecun_normal(), self.shape,
+                        jnp.float32,
+                    )
+                    bias = self.param(
+                        "bias", nn.initializers.zeros, (self.shape[-1],),
+                        jnp.float32,
+                    )
+                    return kern, bias
+
+            kern, bias = _ConvParams(
+                (k, self.features // self.groups, self.features), name="conv"
+            )()
+            import jax as _jax
+
+            return pos_conv_gelu(
+                x, kern, bias, groups=self.groups,
+                interpret=_jax.default_backend() == "cpu",
+            )
+        pad = k // 2
         out = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),

@@ -180,3 +180,20 @@ def test_online_flash_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
     )
+
+
+def test_pallas_posconv_matches_xla(monkeypatch):
+    """S3PRL_POSCONV=pallas routes the grouped conv positional embedding
+    through the long-K-GEMM kernel (kernels/posconv.py); numerics match the
+    XLA feature_group_count lowering on identical params."""
+    from s3prl_tpu.models.transformer import ConvPositionalEmbedding
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 53, 128).astype(np.float32))
+    mod = ConvPositionalEmbedding(features=128, kernel_size=32, groups=4)
+    params = mod.init(jax.random.key(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("S3PRL_POSCONV", "pallas")
+    out = mod.apply(params, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
