@@ -281,7 +281,27 @@ def load_trunk_variables(path: str, fallback_cfg: Wav2Vec2Config = None):
     Unlike load_params, the architecture config comes from the checkpoint's
     model_cfg (so named aliases like xlsr_53 build the right shape), and
     conformer encoders return batch_stats alongside params.
+
+    NATIVE checkpoints (this framework's own hubert/data2vec pretrain
+    recipes — a Trainer step dir / train dir / params.msgpack) load the
+    pretrain task's `trunk` subtree under the factory's config; shape
+    mismatches fail loudly at apply.
     """
+    native = _native_pretrain_msgpack(path)
+    if native is not None:
+        cfg = fallback_cfg or Wav2Vec2Config()
+        if "trunk" in native:  # HubertForPretrain task layout
+            return cfg, {"params": native["trunk"]}
+        if "student" in native:  # data2vec EMA task: the student trunk ships
+            return cfg, {"params": native["student"]}
+        if "feature_extractor" in native:  # a bare trunk param tree
+            return cfg, {"params": native}
+        raise ValueError(
+            f"native checkpoint {path} has top-level keys {sorted(native)} — "
+            "expected a 'trunk' (hubert pretrain) / 'student' (data2vec "
+            "pretrain) subtree or a bare Wav2Vec2Trunk tree"
+        )
+
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

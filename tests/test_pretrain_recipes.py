@@ -142,3 +142,43 @@ def test_native_pretrain_ckpt_loads_as_upstream(tmp_path):
     up2 = hub.load("tera", ckpt=str(train_dir / "step_2"))
     hs2, _ = up2.apply_standardized(up2.params, wavs, lens)
     np.testing.assert_allclose(np.asarray(hs2), np.asarray(hs), atol=1e-6)
+
+
+def test_native_hubert_pretrain_ckpt_loads_as_upstream(tmp_path):
+    """A HubertForPretrain Trainer checkpoint loads through
+    hub.load('hubert', ckpt=...): the trunk subtree is extracted and the
+    upstream's hidden states match a direct trunk apply."""
+    import jax
+    import jax.numpy as jnp
+
+    from s3prl_tpu import hub
+    from s3prl_tpu.models.hubert import HubertForPretrain, HubertPretrainConfig
+    from s3prl_tpu.models.wav2vec2 import BASE, Wav2Vec2Trunk
+    from s3prl_tpu.train.checkpoint import save_checkpoint
+
+    from dataclasses import replace
+
+    cfg = replace(BASE, dropout=0.0, attention_dropout=0.0, dropout_input=0.0)
+    model = HubertForPretrain(cfg, HubertPretrainConfig(num_classes=16, final_dim=32))
+    wavs = jnp.asarray(np.random.RandomState(0).randn(1, 8000).astype(np.float32))
+    lens = jnp.asarray([8000], jnp.int32)
+    params = jax.jit(
+        lambda k: model.init(k, wavs, lens, None, deterministic=True)
+    )(jax.random.key(1))["params"]
+    assert "trunk" in params
+    save_checkpoint(tmp_path / "train", 3, params)
+
+    up = hub.load("hubert", ckpt=str(tmp_path / "train"))
+    hs, h_lens = up.apply_standardized(up.params, wavs, lens)
+    assert not np.any(np.isnan(np.asarray(hs)))
+
+    trunk = Wav2Vec2Trunk(cfg)
+    ref_hs, ref_lens = jax.jit(
+        lambda p, w, l: trunk.apply({"params": p}, w, l, deterministic=True)
+    )(params["trunk"], wavs, lens)
+    # the packaged API pads to hubert's block-folded length rule (one frame
+    # more than strict conv arithmetic here) — compare the common prefix
+    n = min(int(h_lens[0]), int(ref_lens[0]))
+    np.testing.assert_allclose(
+        np.asarray(hs[-1][0, :n]), np.asarray(ref_hs[-1][0, :n]), atol=1e-5
+    )
