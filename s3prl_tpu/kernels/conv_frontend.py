@@ -18,6 +18,7 @@ whole-time statistics); CPU falls back to interpret mode.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 2048  # output frames per grid cell
+CHUNK = int(os.environ.get("S3PRL_CONV_CHUNK", 2048))  # output frames per grid cell
 
 
 def _erf(x):
@@ -185,7 +186,7 @@ def conv0_ln_gelu_q8(wavs, kernel, scale, bias, stride: int = 5, k: int = 10,
     return oq[:, :T_out], os[:, :T_out]
 
 
-MIDCHUNK = 1024  # output rows per grid cell, mid conv layers
+MIDCHUNK = int(os.environ.get("S3PRL_MIDCHUNK", 1024))  # output rows per grid cell, mid conv layers
 
 
 def _mid_kernel(p_ref, p1_ref, s_ref, s1_ref, w_ref, ws_ref, g_ref, b_ref,

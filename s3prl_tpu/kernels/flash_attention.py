@@ -47,6 +47,15 @@ def _query_block(T: int) -> int:
     return 128
 
 
+def _bq_env(default: int) -> int:
+    """S3PRL_BQ overrides the serving kernels' query-block rows (on-chip
+    tile sweeps; must be a multiple of 128)."""
+    import os
+
+    v = os.environ.get("S3PRL_BQ")
+    return int(v) if v else default
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
     """Grid cell (b, h, iq): one query block against all keys.
 
@@ -191,7 +200,7 @@ def _fused_qkv_attention_kernel(qkv, kv_lens, num_heads, interpret=False):
     Dh = C // num_heads
     # larger query blocks amortize grid dispatch and feed the MXU bigger
     # matmuls; 512 keeps per-cell VMEM ~12 MB under the 16 MB scoped limit
-    BQ = 512 if T <= 512 else 256
+    BQ = _bq_env(512 if T <= 512 else 256)
     Tp = -(-T // BQ) * BQ
     qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
     out = pl.pallas_call(
@@ -292,7 +301,7 @@ def _fused_qkv_attention_outproj_call(qkv, residual, wo_q, wo_s, bo, kv_lens,
     # (B=32, T=499); the extra residual/int8-weight buffers push a 512-row
     # cell past the 16 MB scoped-VMEM limit at larger batches, so fall back
     # to 256 rows there
-    BQ = 512 if (T <= 512 and B <= 32) else 256
+    BQ = _bq_env(512 if (T <= 512 and B <= 32) else 256)
     Tp = -(-T // BQ) * BQ
     qkvp = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else qkv
     resp = jnp.pad(residual, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else residual
