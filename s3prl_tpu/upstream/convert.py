@@ -845,6 +845,20 @@ def load_mel_ssl_checkpoint(name: str, path: str):
     """
     native = _native_pretrain_msgpack(path)
     if native is not None:
+        if name.startswith("npc"):
+            # NpcReconstructionTask checkpoints store full variables
+            # ({"params": {"npc": ...}, "batch_stats": {"npc": ...}})
+            try:
+                out = {"params": native["params"]["npc"]}
+                if "batch_stats" in native:
+                    out["batch_stats"] = native["batch_stats"]["npc"]
+                return out
+            except KeyError:
+                raise ValueError(
+                    f"native pretrain checkpoint {path} has top-level keys "
+                    f"{sorted(native)} — expected the NPC task layout "
+                    "({'params': {'npc': ...}, 'batch_stats': ...})"
+                )
         subtree_key = (
             "encoder" if name.startswith(("mockingjay", "tera", "audio_albert"))
             else "apc" if name.startswith(("apc", "vq_apc"))
@@ -855,7 +869,7 @@ def load_mel_ssl_checkpoint(name: str, path: str):
                 f"native pretrain checkpoint {path} has top-level keys "
                 f"{sorted(native)} — expected a '{subtree_key}' subtree for "
                 f"upstream '{name}' (supported native round trips: "
-                "mockingjay/tera/audio_albert, apc/vq_apc)"
+                "mockingjay/tera/audio_albert, apc/vq_apc, npc)"
             )
         return {"params": native[subtree_key]}
 

@@ -197,3 +197,31 @@ def test_pallas_posconv_matches_xla(monkeypatch):
     out = mod.apply(params, x)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_bq_env_override_matches_default(monkeypatch):
+    """S3PRL_BQ retiles the serving attention kernels without changing
+    numerics (T=200 splits into two 128-row blocks instead of one 512)."""
+    from s3prl_tpu.ops.attention import attention_bthd
+
+    B, T, H, Dh = 2, 200, 4, 16
+    C = H * Dh
+    rng = np.random.RandomState(2)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * C).astype(np.float32))
+    kv_lens = jnp.asarray([200, 130], jnp.int32)
+
+    monkeypatch.setenv("S3PRL_BQ", "128")
+    from s3prl_tpu.kernels.flash_attention import fused_qkv_attention
+
+    out = fused_qkv_attention(qkv, kv_lens, H, interpret=True)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = attention_bthd(
+        q.reshape(B, T, H, Dh) * (Dh ** -0.5),
+        k.reshape(B, T, H, Dh), v.reshape(B, T, H, Dh),
+        ~length_mask(kv_lens, T),
+    ).reshape(B, T, C)
+    valid = np.asarray(length_mask(kv_lens, T))[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
+    )

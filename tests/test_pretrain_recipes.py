@@ -182,3 +182,31 @@ def test_native_hubert_pretrain_ckpt_loads_as_upstream(tmp_path):
     np.testing.assert_allclose(
         np.asarray(hs[-1][0, :n]), np.asarray(ref_hs[-1][0, :n]), atol=1e-5
     )
+
+
+def test_native_loader_dispatch_layouts(tmp_path):
+    """load_mel_ssl_checkpoint extracts the right subtree per family from
+    native Trainer checkpoints (apc task: bare params {'apc': ...}; npc
+    task: full variables with batch_stats) and rejects unknown layouts."""
+    import jax.numpy as jnp
+    import pytest
+
+    from s3prl_tpu.train.checkpoint import save_checkpoint
+    from s3prl_tpu.upstream.convert import load_mel_ssl_checkpoint
+
+    leaf = jnp.ones((2, 2))
+    save_checkpoint(tmp_path / "apc", 1, {"apc": {"w": leaf}})
+    out = load_mel_ssl_checkpoint("apc", str(tmp_path / "apc"))
+    assert set(out) == {"params"} and "w" in out["params"]
+
+    save_checkpoint(
+        tmp_path / "npc", 1,
+        {"params": {"npc": {"w": leaf}}, "batch_stats": {"npc": {"m": leaf}}},
+    )
+    out = load_mel_ssl_checkpoint("npc", str(tmp_path / "npc"))
+    assert set(out) == {"params", "batch_stats"}
+    assert "w" in out["params"] and "m" in out["batch_stats"]
+
+    save_checkpoint(tmp_path / "bad", 1, {"something_else": {"w": leaf}})
+    with pytest.raises(ValueError, match="expected a"):
+        load_mel_ssl_checkpoint("tera", str(tmp_path / "bad"))
