@@ -25,17 +25,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Create a ("dp", "tp") mesh over the given (default: all) devices."""
+    """Create a ("dp", "tp"[, "sp"]) mesh over the given (default: all)
+    devices. The "sp" axis (sequence parallelism: the TIME axis of waveforms
+    and hidden states sharded across devices — capability the reference
+    lacks entirely, SURVEY §5.7) is only added when sp > 1 so every dp/tp
+    path is unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, (n, tp)
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n} devices"
+        assert n % (tp * sp) == 0, (n, tp, sp)
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"dp({dp}) * tp({tp}) * sp({sp}) != {n} devices"
+    if sp > 1:
+        return Mesh(np.asarray(devices).reshape(dp, tp, sp), ("dp", "tp", "sp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """wavs [B, T]: batch over dp, TIME over sp (long-audio extraction)."""
+    return NamedSharding(mesh, P("dp", "sp"))
+
+
+def sequence_sharded_extraction(upstream, mesh: Mesh, wavs, lens):
+    """Hidden-state extraction with the time axis sharded over the mesh's
+    "sp" axis: per-device wav shards stream through the conv front end with
+    GSPMD halo exchange, attention all-gathers K/V over ICI, and the
+    returned hidden states stay time-sharded ([L, B, T', C] with T' over
+    "sp") — minutes-long diarization audio no single chip could hold.
+    Numerics match single-device extraction exactly (tests/test_parallel.py).
+    """
+    ws = jax.device_put(wavs, sequence_sharding(mesh))
+    ls = jax.device_put(lens, NamedSharding(mesh, P("dp")))
+    params = jax.device_put(upstream.params, NamedSharding(mesh, P()))
+    # no out_shardings pin: the feature frame count (T-1)//320+1 is rarely
+    # divisible by sp, so GSPMD chooses the output layout (T-sharded with a
+    # ragged last shard where it can)
+    with mesh:
+        return jax.jit(upstream.apply_standardized)(params, ws, ls)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

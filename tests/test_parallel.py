@@ -168,3 +168,26 @@ def test_initialize_noop_single_process():
 
 def test_barrier_single_process():
     distributed.barrier("unit-test")
+
+
+def test_sequence_parallel_extraction_matches_single_device():
+    """Time-axis (sp) sharded extraction — waveform and hidden states
+    sharded over the mesh's "sp" axis, conv halos and attention K/V
+    gathers inserted by GSPMD — matches single-device numerics exactly.
+    Sequence parallelism is capability the reference lacks (SURVEY §5.7)."""
+    import numpy as np
+
+    from s3prl_tpu import hub
+    from s3prl_tpu.parallel.mesh import make_mesh, sequence_sharded_extraction
+
+    up = hub.load("hubert")
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(2, 48000).astype(np.float32))
+    lens = jnp.asarray([48000, 32000], jnp.int32)
+    ref, ref_lens = jax.jit(up.apply_standardized)(up.params, wavs, lens)
+
+    mesh = make_mesh(dp=2, tp=1, sp=4)
+    assert mesh.shape == {"dp": 2, "tp": 1, "sp": 4}
+    hs, h_lens = sequence_sharded_extraction(up, mesh, wavs, lens)
+    np.testing.assert_array_equal(np.asarray(h_lens), np.asarray(ref_lens))
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(ref), atol=1e-6)
