@@ -353,6 +353,128 @@ def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
     )
 
 
+def _gated_outproj_kernel(q_ref, k_ref, v_ref, r_ref, bias_ref, gate_ref,
+                          wo_ref, wos_ref, bo_ref, kvlen_ref, o_ref, *,
+                          num_heads: int, scale: float):
+    """WavLM twin of _fused_qkv_outproj_kernel: per-head attention with the
+    gated rel-pos bias (scores = qk^T*scale + gate[h]*bias[h]), then the
+    int8 W8A8 out-projection + residual in the same cell. The [H, BQ, T]
+    gated-bias product and the raw attention output never exist in HBM."""
+    BQ = q_ref.shape[0]
+    T = k_ref.shape[0]
+    C = o_ref.shape[1]
+    Dh = C // num_heads
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
+    penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    heads = []
+    for h in range(num_heads):
+        q = q_ref[:, h * Dh : (h + 1) * Dh]
+        k = k_ref[:, h * Dh : (h + 1) * Dh]
+        v = v_ref[:, h * Dh : (h + 1) * Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        gate = gate_ref[h].astype(jnp.float32)  # [BQ, 1]
+        scores = scores + gate * bias_ref[h].astype(jnp.float32) + penalty
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = _exp_fast(scores - m)
+        recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    attn = jnp.concatenate(heads, axis=1)  # [BQ, C] f32
+    s = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
+    a8 = jnp.clip(jnp.round(attn / s), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        a8, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * s * wos_ref[0, :] + bo_ref[0, :] + r_ref[:, :].astype(jnp.float32)
+    o_ref[:, :] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _gated_outproj_call(qkv, residual, pos_bias, gate, wo_q, wo_s, bo,
+                        kv_lens, num_heads, interpret=False):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    H = num_heads
+    Dh = C // H
+    # bias block [H, BQ, T] f32 dominates VMEM (H=16: 4 MB at BQ=128,
+    # 8 MB at 256); 256 fits the serving protocol (T<=512) alongside K/V
+    BQ = _bq_env(256 if T <= 512 else 128)
+    Tp = -(-T // BQ) * BQ
+    pad_t = ((0, 0), (0, Tp - T), (0, 0))
+    qkvp = jnp.pad(qkv, pad_t) if Tp != T else qkv
+    resp = jnp.pad(residual, pad_t) if Tp != T else residual
+    biasp = (jnp.pad(pos_bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
+             if Tp != T else pos_bias)
+    gatep = jnp.pad(gate, ((0, 0), (0, 0), (0, Tp - T))) if Tp != T else gate
+    out = pl.pallas_call(
+        partial(_gated_outproj_kernel, num_heads=H, scale=Dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), qkv.dtype),
+        grid=(B, Tp // BQ),
+        in_specs=[
+            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, BQ, Tp), lambda b, iq: (0, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, BQ, 1), lambda b, iq: (b, 0, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkvp, qkvp, qkvp, resp, biasp.astype(jnp.float32), gatep[..., None],
+      wo_q, wo_s.reshape(1, C), bo.reshape(1, C).astype(jnp.float32),
+      kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :T]
+
+
+def gated_bias_attention_outproj(qkv, residual, pos_bias, gate, wo, bo,
+                                 kv_lens, num_heads: int,
+                                 interpret: bool = False):
+    """residual + out_proj(gated-bias MHA(qkv)) in one kernel (WavLM).
+
+    qkv [B, T, 3C] (unscaled fused projection), residual [B, T, C],
+    pos_bias [H, T, T] (shared across layers), gate [B, H, T], wo [C, C] /
+    bo [C]. int8 W8A8 out-projection; forward-only serving path. Falls back
+    to the split pair beyond the kernel's T budget.
+    """
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    if T > MAX_KERNEL_T:
+        from ..ops.quant import int8_matmul
+
+        H = num_heads
+        Dh = C // H
+        qkv_h = qkv.reshape(B, T, 3, H, Dh).transpose(0, 3, 2, 1, 4)
+        out = gated_bias_attention(
+            qkv_h[:, :, 0] * (Dh ** -0.5), qkv_h[:, :, 1], qkv_h[:, :, 2],
+            pos_bias.astype(jnp.float32), gate.astype(jnp.float32), kv_lens,
+            interpret=interpret,
+        ).transpose(0, 2, 1, 3).reshape(B, T, C)
+        return residual + int8_matmul(out, wo, bo, out_dtype=residual.dtype)
+    from ..ops.quant import quantize_cols
+
+    wo_q, wo_s = quantize_cols(wo)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _gated_outproj_call(qkv, residual, pos_bias, gate, wo_q, wo_s, bo,
+                               kv_lens, num_heads, interpret=interpret)
+
+
 def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
                        wos_ref, bo_ref, kvlen_ref, o_ref, *, num_heads: int,
                        scale: float):

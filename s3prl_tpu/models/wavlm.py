@@ -140,6 +140,37 @@ class GatedRelPosLayer(nn.Module):
                            rel_bias=(position_bias, gate_of(h)))
             return mod(h, key_padding_mask, position_bias[None], deterministic)
 
+        def fused_gated_attn(h, residual):
+            """Gated-bias MHA + int8 out-proj + residual in one kernel
+            (kernels/flash_attention.py gated_bias_attention_outproj) —
+            the raw attention output and the [B,H,T,T] gated-bias product
+            never exist in HBM. Same param tree as the unfused path.
+            S3PRL_WAVLM_FUSE=0 falls back for A/B."""
+            from ..kernels.flash_attention import gated_bias_attention_outproj
+            from ..ops.quant import int8_matmul
+            from .transformer import _AttnProjParams
+
+            (kq, bq), (ko, bo) = _AttnProjParams(
+                self.embed_dim, name="self_attn")()
+            qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
+            kv_lens = (
+                (~key_padding_mask).sum(-1).astype(jnp.int32)
+                if key_padding_mask is not None
+                else jnp.full((B,), T, jnp.int32)
+            )
+            return gated_bias_attention_outproj(
+                qkv, residual, position_bias, gate_of(h), ko, bo, kv_lens, H
+            )
+
+        import os
+
+        fuse_gated = (
+            self.quantize and deterministic and self.use_flash
+            and self.gru_rel_pos and position_bias is not None
+            and _fused_block_available()
+            and os.environ.get("S3PRL_WAVLM_FUSE", "1") == "1"
+        )
+
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
         drop_act = lambda h: nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
@@ -165,7 +196,10 @@ class GatedRelPosLayer(nn.Module):
                          dtype=self.dtype, name="fc2")(h)
 
         if self.layer_norm_first:
-            x = x + drop(attn(ln_attn(x).astype(self.dtype)))
+            if fuse_gated:
+                x = fused_gated_attn(ln_attn(x).astype(self.dtype), x)
+            else:
+                x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving:
                 from ..kernels.ffn import fused_int8_ffn
                 from ..ops.quant import LinearParams, NormParams
@@ -180,7 +214,10 @@ class GatedRelPosLayer(nn.Module):
                 x = x + drop(ffn(ln_final(x).astype(self.dtype)))
         else:
             ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")
-            x = ln_attn(x + drop(attn(x))).astype(self.dtype)
+            if fuse_gated:
+                x = ln_attn(fused_gated_attn(x, x)).astype(self.dtype)
+            else:
+                x = ln_attn(x + drop(attn(x))).astype(self.dtype)
             x = ln_final(x + drop(ffn(x))).astype(self.dtype)
         return x
 

@@ -6,6 +6,7 @@ checkpoints load unchanged, and (c) keep trunk hidden states close to the
 bf16 path (cosine similarity) — the quality bar for the extraction mode.
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -339,3 +340,36 @@ def test_fused_block_matches_unfused_layer(monkeypatch):
     # compare valid region
     assert _cos(out[0], ref[0]) > 0.999
     assert _cos(out[1, :8], ref[1, :8]) > 0.999
+
+
+@pytest.mark.parametrize("preln", [False, True], ids=["postln", "preln"])
+def test_wavlm_gated_outproj_fusion_matches_split(monkeypatch, preln):
+    """gated_bias_attention_outproj (gated MHA + int8 out-proj + residual in
+    one kernel, the WavLM serving default) computes the same layers as the
+    split path (S3PRL_WAVLM_FUSE=0) in both LN orders."""
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+
+    cfg = WavLMConfig(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+        num_buckets=32, max_distance=64, layer_norm_first=preln,
+        extractor_mode="layer_norm" if preln else "default",
+    )
+    wavs = jnp.asarray(np.random.RandomState(3).randn(2, 8000).astype(np.float32))
+    lens = jnp.asarray([8000, 5000])
+    m = WavLMModel(cfg, use_flash=True, quantize=True)
+    params = jax.jit(
+        lambda k: m.init(k, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+
+    hs_fused, _ = m.apply({"params": params}, wavs, lens, deterministic=True)
+    monkeypatch.setenv("S3PRL_WAVLM_FUSE", "0")
+    hs_split, _ = m.apply({"params": params}, wavs, lens, deterministic=True)
+    assert hs_fused.shape == hs_split.shape
+    for l in range(hs_fused.shape[0]):
+        assert _cos(hs_fused[l], hs_split[l]) > 0.9999, f"layer {l}"
