@@ -20,6 +20,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the image's sitecustomize force-registers the tunneled TPU backend and
+    # overrides JAX_PLATFORMS; honor an explicit CPU request (smoke runs)
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +53,10 @@ def main():
     # int8 is the production extraction configuration, as in any serving
     # engine. BENCH_QUANT=0 benches the bf16 path.
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
-    up = hub.load("hubert_large_ll60k", dtype=jnp.bfloat16, flash=flash,
+    # BENCH_MODEL switches the trunk (e.g. wavlm_large) under the identical
+    # protocol; the driver's headline metric stays hubert_large_ll60k
+    model_name = os.environ.get("BENCH_MODEL", "hubert_large_ll60k")
+    up = hub.load(model_name, dtype=jnp.bfloat16, flash=flash,
                   quantize=quant)
 
     T = int(16000 * secs)
@@ -90,7 +97,11 @@ def main():
 
     audio_sec_per_sec = batch_size * secs * iters / elapsed
     payload = {
-        "metric": "hubert_large_extraction_throughput",
+        "metric": (
+            "hubert_large_extraction_throughput"
+            if model_name == "hubert_large_ll60k"
+            else f"{model_name}_extraction_throughput"
+        ),
         "value": round(audio_sec_per_sec, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
