@@ -14,6 +14,10 @@ this suite proves the loss families where training-dynamics bugs live:
             BLSTM; test SI-SDR improvement over the mixture > 5 dB proves the
             mask-regression loss family (magnitude MSE + phase-reuse
             reconstruction) trains.
+  st        tone-word sequences transcribed in REVERSED order -> BPE +
+            attention decoder (label-smoothed CE) + greedy decode; BLEU only
+            rises if cross-attention + autoregression genuinely train (a
+            monotonic/CTC model cannot emit the reversal).
   pretrain  TERA-style masked acoustic modeling on tone-sequence audio via
             the REAL PretrainTera recipe; held-out masked-L1 must fall far
             below the per-utterance mean-predictor baseline, and a linear
@@ -25,7 +29,7 @@ Each variant trains the REAL recipe pipeline (fbank/mel upstream, real
 samplers/collate/trainer) on class-correlated synthetic audio, and commits
 docs/convergence/<variant>/result.yaml.
 
-Run: JAX_PLATFORMS=cpu python tools/convergence_suite.py [ctc|asv|sd|se|pretrain|all]
+Run: JAX_PLATFORMS=cpu python tools/convergence_suite.py [ctc|asv|sd|se|st|pretrain|all]
 """
 
 import json
@@ -262,6 +266,63 @@ class SdConvergence(SdExample):
             valid_dir=workspace / "kaldi_valid",
             test_dir=workspace / "kaldi_test",
         )
+
+
+# ---------------------------------------------------------------------------
+class StConvergence:
+    """Attention seq2seq (ST recipe): tone-word sequences whose transcript is
+    the word sequence REVERSED — unlearnable by monotonic/CTC alignment, so
+    BLEU only rises if the decoder's cross-attention + autoregression train.
+    """
+
+    def build(self):
+        import pandas as pd
+
+        from s3prl_tpu.problem.translation import StExample
+
+        class StConvergenceProblem(StExample):
+            WORDS = "abcdef"
+
+            def default_config(self):
+                cfg = super().default_config()
+                cfg["prepare_data"] = {"num_train": 600, "num_eval": 24}
+                cfg["build_encoder"] = {"vocab_size": 40}
+                cfg["build_downstream"] = {"hidden_size": 96, "num_layers": 2,
+                                           "num_heads": 4, "ffn_size": 192}
+                cfg["build_batch_sampler"] = {"batch_size": 16}
+                cfg["build_optimizer"] = {"name": "Adam", "lr": 1.0e-3,
+                                          "scheduler": "linear_schedule"}
+                cfg["train"] = {
+                    "total_steps": int(os.environ.get("ST_STEPS", 2500)),
+                    "log_step": 50, "eval_step": 500, "save_step": 500,
+                }
+                return cfg
+
+            def prepare_data(self, workspace, config):
+                cfg = config.get("prepare_data", {})
+                rng = np.random.RandomState(0)
+                (workspace / "wavs").mkdir(parents=True, exist_ok=True)
+                for split, n in [("train", cfg["num_train"]),
+                                 ("valid", cfg["num_eval"]),
+                                 ("test", cfg["num_eval"])]:
+                    rows = []
+                    for i in range(n):
+                        k = int(rng.randint(4, 9))
+                        words = rng.randint(0, len(self.WORDS), size=k)
+                        pieces = []
+                        for w in words:
+                            pieces.append(_tone(300.0 * (1.3 ** w), 0.3, rng))
+                            pieces.append(np.zeros(int(16000 * 0.06), np.float32))
+                        wav = np.concatenate(pieces) * 0.3
+                        path = workspace / "wavs" / f"{split}_{i}.wav"
+                        _write_wav(path, wav)
+                        text = " ".join(self.WORDS[w] for w in words[::-1])
+                        rows.append(dict(id=f"{split}_{i}", wav_path=str(path),
+                                         transcription=text))
+                    pd.DataFrame(rows).to_csv(workspace / f"{split}.csv",
+                                              index=False)
+
+        return StConvergenceProblem()
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +564,12 @@ def _run(problem, variant, metric_key, threshold, lower_better=True):
         config.pop("target_dir")
         results = problem.run(ws, **config)
         metrics_path = Path(ws) / "train" / "metrics.jsonl"
+        if not metrics_path.exists():
+            raise RuntimeError(
+                f"{variant}: no train metrics were written — is total_steps "
+                f"({config['train']['total_steps']}) < log_step "
+                f"({config['train']['log_step']})?"
+            )
         metrics = [json.loads(l) for l in metrics_path.read_text().splitlines()]
         shutil.copy(metrics_path, out_dir / "metrics.jsonl")
 
@@ -538,6 +605,8 @@ def main():
         _run(SdConvergence(), "sd", "der", 0.3)
     if which in ("se", "all"):
         _run(SeConvergence().build(), "se", "si_sdri", 5.0, lower_better=False)
+    if which in ("st", "all"):
+        _run(StConvergence().build(), "st", "bleu", 50.0, lower_better=False)
     if which in ("pretrain", "all"):
         _pretrain_convergence()
 
