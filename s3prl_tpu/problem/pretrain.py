@@ -452,8 +452,15 @@ class PretrainHubert(PretrainProblem):
     """HuBERT masked-unit pretraining (reference: the fairseq recipe the
     converted hubert ckpts come from; loss per hubert_model.py:465-560).
 
-    prepare_data must produce train/valid CSVs with `units_path` pointing to
-    per-utterance [T_feat] k-means labels at the 20 ms frame rate.
+    The full iteration-1 loop is self-contained: `prepare_units` discovers
+    the masked-prediction targets with the TPU-native k-means
+    (`ops/kmeans.py` — MFCC at 10 ms, subsampled to the trunk's 20 ms rate,
+    E/M steps as GEMMs) in place of the fairseq dump-MFCC ->
+    sklearn-MiniBatchKMeans -> dump-label offline pipeline. Precomputed
+    labels still work: point `prepare_units.units_dir` at <id>.npy files,
+    or write `units_path` columns in prepare_data and the stage no-ops.
+    Iteration 2 (re-label with a trained trunk's hidden states): dump
+    features with task/dump_feature.py and re-run with feature="dir".
     """
 
     feature_upstream = "wav"
@@ -461,13 +468,99 @@ class PretrainHubert(PretrainProblem):
     def default_config(self) -> dict:
         return {
             "target_dir": "???",
-            "prepare_data": {"librispeech": "???", "units_dir": "???"},
+            "prepare_data": {"librispeech": "???", "train_split": "train-clean-100"},
+            "prepare_units": {"num_clusters": 100, "iters": 20,
+                              "max_fit_frames": 1_000_000},
             "build_model": {},
             "build_task": {"mask_prob": 0.8, "mask_length": 10},
             "build_batch_sampler": {"batch_size": 8},
             "build_optimizer": {"name": "AdamW", "lr": 5.0e-4, "scheduler": "linear_schedule"},
             "train": {"total_steps": 400000, "log_step": 100, "eval_step": 10000, "save_step": 10000},
         }
+
+    STAGES = ["prepare_data", "prepare_units", "train_stage"]
+
+    def prepare_data(self, workspace: Path, config: dict):
+        from ..data.corpus.librispeech import prepare_librispeech_asr
+
+        prepare_librispeech_asr(workspace, **config.get("prepare_data", {}))
+
+    def prepare_units(self, workspace: Path, config: dict):
+        """Discover (or attach) frame-level unit labels for every CSV row."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..data.audio import load_wav
+        from ..models.baseline import baseline_features
+        from ..ops.kmeans import kmeans_assign, kmeans_fit, kmeans_inertia
+
+        cfg = dict(config.get("prepare_units", {}))
+        csvs = [p for p in (workspace / "train.csv", workspace / "valid.csv")
+                if p.exists()]
+        dfs = {p: pd.read_csv(p) for p in csvs}
+        if all("units_path" in df.columns for df in dfs.values()):
+            return  # labels shipped by prepare_data — nothing to discover
+        units_dir_cfg = cfg.get("units_dir")
+        if units_dir_cfg:  # precomputed fairseq-style label dir
+            for p, df in dfs.items():
+                df["units_path"] = [
+                    str(Path(units_dir_cfg) / f"{i}.npy") for i in df["id"]
+                ]
+                df.to_csv(p, index=False)
+            return
+
+        num_clusters = int(cfg.get("num_clusters", 100))
+        iters = int(cfg.get("iters", 20))
+        max_fit = int(cfg.get("max_fit_frames", 1_000_000))
+        sub = int(cfg.get("frame_subsample", 2))  # 10 ms MFCC -> 20 ms units
+        max_secs = float(cfg.get("max_secs", 15.0))
+        out_dir = workspace / "units"
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        # 39-d MFCC (13 ceps + delta2), padded to 1 s buckets so the feature
+        # program compiles once per bucket. NO per-utterance CMVN: fairseq's
+        # dump_mfcc pipeline doesn't apply it either, and it would erase the
+        # static spectral identity k-means needs to cluster
+        feat_fn = jax.jit(lambda w, l: baseline_features(
+            w, l, feat_type="mfcc", num_ceps=13, delta_order=2, cmvn=False))
+
+        def mfcc_of(path):
+            wav, _ = load_wav(path, 16000, 0.0, max_secs)
+            T = max(len(wav), 400)
+            Tp = -(-T // 16000) * 16000
+            w = jnp.asarray(np.pad(wav, (0, Tp - len(wav))))[None]
+            f, fl = feat_fn(w, jnp.asarray([T]))
+            return np.asarray(f[0], np.float32)[: int(fl[0]) : 1][::sub]
+
+        fit_chunks, fit_frames = [], 0
+        for _, row in dfs[csvs[0]].iterrows():
+            if fit_frames >= max_fit:
+                break
+            f = mfcc_of(row["wav_path"])
+            fit_chunks.append(f)
+            fit_frames += len(f)
+        sample = np.concatenate(fit_chunks)[:max_fit]
+        centroids = kmeans_fit(
+            jax.random.key(0), jnp.asarray(sample), num_clusters, iters=iters
+        )
+        np.save(out_dir / "centroids.npy", np.asarray(centroids))
+        logger.info(
+            f"k-means fit on {len(sample)} frames: inertia "
+            f"{kmeans_inertia(jnp.asarray(sample), centroids):.3f}"
+        )
+        for p, df in dfs.items():
+            paths = []
+            for _, row in df.iterrows():
+                f = mfcc_of(row["wav_path"])
+                units = np.asarray(
+                    kmeans_assign(jnp.asarray(f), centroids), np.int32
+                )
+                upath = out_dir / f"{row['id']}.npy"
+                np.save(upath, units)
+                paths.append(str(upath))
+            df["units_path"] = paths
+            df.to_csv(p, index=False)
 
     def build_task(self, config: dict):
         from ..models.hubert import HUBERT_BASE, HubertForPretrain, HubertPretrainConfig
@@ -496,11 +589,6 @@ class PretrainHubert(PretrainProblem):
         )
         buckets = Buckets.linear(config.get("bucket_step", 16000), 16000 * 30)
         return DataLoader(ds, sampler, lambda items: pad_collate(items, buckets))
-
-    def prepare_data(self, workspace: Path, config: dict):
-        raise NotImplementedError(
-            "provide LibriSpeech CSVs + precomputed k-means units (units_dir)"
-        )
 
 
 class PretrainHubertExample(PretrainHubert):
