@@ -54,11 +54,20 @@ class SpeechTranslationTask(Task):
         return logits, memory, lens
 
     def loss_and_cache(self, params, hs, h_lens, batch, rng, train):
-        targets = batch["class_ids"]  # [B, N], pad=0
-        target_lens = batch["class_ids_len"]
+        raw = batch["class_ids"]  # [B, N], pad=0
+        raw_lens = batch["class_ids_len"]
         eos = self.tokenizer.eos_idx
-        B, N = targets.shape
-        # teacher forcing: input = [eos, y_0..y_{n-2}], predict y
+        B, N = raw.shape
+        # append <eos> at each target's end: the decoder must LEARN to stop,
+        # or greedy decoding rambles to max_decode_len (caught by the ST
+        # convergence run — train loss fell to the smoothed-CE floor while
+        # test BLEU stayed ~2 because hypotheses never terminated)
+        targets = jnp.concatenate([raw, jnp.zeros((B, 1), raw.dtype)], 1)
+        pos = jnp.arange(N + 1)[None, :]
+        targets = jnp.where(pos == raw_lens[:, None], eos, targets)
+        target_lens = raw_lens + 1
+        N = N + 1
+        # teacher forcing: input = [eos, y_0..y_{n-1}], predict [y, eos]
         dec_in = jnp.concatenate([jnp.full((B, 1), eos, targets.dtype), targets[:, :-1]], 1)
         logits, memory, lens = self._forward(params, hs, h_lens, dec_in, rng, train)
         valid = length_mask(target_lens, N, jnp.float32)
