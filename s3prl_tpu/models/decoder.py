@@ -67,6 +67,15 @@ class TransformerDecoder(nn.Module):
         mem_pad = ~length_mask(memory_lens, memory.shape[1])
         if memory.shape[-1] != cfg.hidden_size:
             memory = nn.Dense(cfg.hidden_size, name="memory_proj")(memory)
+        # sinusoid positions on the memory too — the fairseq S2T encoder the
+        # reference wraps applies positional embeddings to encoder states
+        # (fairseq s2t_transformer.py); without them cross-attention can
+        # address the memory only by content (caught by the ST convergence
+        # run: a tone-order task plateaued because identical tones at
+        # different positions were indistinguishable)
+        memory = memory + jnp.asarray(
+            sinusoid_table(memory.shape[1], cfg.hidden_size)
+        )[None].astype(memory.dtype)
         for i in range(cfg.num_layers):
             h = _CrossAttention(cfg.hidden_size, cfg.num_heads, name=f"self_{i}")(
                 x, x, None, causal=True

@@ -285,15 +285,15 @@ class StConvergence:
 
             def default_config(self):
                 cfg = super().default_config()
-                cfg["prepare_data"] = {"num_train": 600, "num_eval": 24}
+                cfg["prepare_data"] = {"num_train": 1200, "num_eval": 24}
                 cfg["build_encoder"] = {"vocab_size": 40}
-                cfg["build_downstream"] = {"hidden_size": 96, "num_layers": 2,
-                                           "num_heads": 4, "ffn_size": 192}
+                cfg["build_downstream"] = {"hidden_size": 128, "num_layers": 2,
+                                           "num_heads": 4, "ffn_size": 256}
                 cfg["build_batch_sampler"] = {"batch_size": 16}
                 cfg["build_optimizer"] = {"name": "Adam", "lr": 1.0e-3,
                                           "scheduler": "linear_schedule"}
                 cfg["train"] = {
-                    "total_steps": int(os.environ.get("ST_STEPS", 2500)),
+                    "total_steps": int(os.environ.get("ST_STEPS", 4000)),
                     "log_step": 50, "eval_step": 500, "save_step": 500,
                 }
                 return cfg
