@@ -91,5 +91,9 @@ def test_mesh_sharded_extraction_matches_single_device():
     out, out_lens = jax.jit(up.apply_standardized)(params_s, wavs_s, lens_s)
 
     np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    # 5e-4: XLA:CPU's oneDNN matmuls pick different split/reduction orders
+    # depending on runtime thread availability (flaked at 2e-5 once under a
+    # fully loaded xdist run); still 20x tighter than the reference's own
+    # regression budget (test_upstream.py atol=0.01)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+        np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-5)
