@@ -35,27 +35,8 @@ from s3prl_tpu import hub
 TARGET = 10_000.0  # audio-sec/sec/chip (BASELINE.json north_star)
 
 
-def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", 32))
-    secs = float(os.environ.get("BENCH_SECS", 10.0))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
-    # BENCH_MODE=weighted benches the fused weighted-sum serving path (the
-    # SUPERB probe consumes softmax(w)·hidden_states; the fused scan never
-    # materializes the 25 per-layer states)
-    mode = os.environ.get("BENCH_MODE", "hidden_states")
-
-    flash = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas fused attention (beats XLA at every protocol length)
-    # The serving default is int8 W8A8 encoder projections (dynamic
-    # per-token / per-channel scales + fused Pallas kernels, ops/quant.py +
-    # kernels/ffn.py). Per-hidden-state cosine vs the bf16 path is >0.999
-    # (tests/test_quant.py); the bf16-speed-of-light for this model on v5e
-    # (~5.2k audio-sec/s at peak 197 TF/s) is below the 10k north star, so
-    # int8 is the production extraction configuration, as in any serving
-    # engine. BENCH_QUANT=0 benches the bf16 path.
-    quant = os.environ.get("BENCH_QUANT", "1") == "1"
-    # BENCH_MODEL switches the trunk (e.g. wavlm_large) under the identical
-    # protocol; the driver's headline metric stays hubert_large_ll60k
-    model_name = os.environ.get("BENCH_MODEL", "hubert_large_ll60k")
+def measure(model_name, quant, mode, flash, batch_size, secs, iters):
+    """One throughput measurement; returns audio-sec/sec."""
     up = hub.load(model_name, dtype=jnp.bfloat16, flash=flash,
                   quantize=quant)
 
@@ -95,7 +76,39 @@ def main():
     float(np.asarray(extract_loop(up.params, wavs, lens)))  # host fetch = sync
     elapsed = time.perf_counter() - start
 
-    audio_sec_per_sec = batch_size * secs * iters / elapsed
+    return batch_size * secs * iters / elapsed
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    secs = float(os.environ.get("BENCH_SECS", 10.0))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # BENCH_MODE=weighted benches the fused weighted-sum serving path (the
+    # SUPERB probe consumes softmax(w)·hidden_states; the fused scan never
+    # materializes the 25 per-layer states)
+    mode = os.environ.get("BENCH_MODE", "hidden_states")
+    flash = os.environ.get("BENCH_FLASH", "1") == "1"  # Pallas fused attention (beats XLA at every protocol length)
+    # The serving default is int8 W8A8 encoder projections (dynamic
+    # per-token / per-channel scales + fused Pallas kernels, ops/quant.py +
+    # kernels/ffn.py). Per-hidden-state cosine vs the bf16 path is >0.999
+    # (tests/test_quant.py); the bf16-speed-of-light for this model on v5e
+    # (~5.2k audio-sec/s at peak 197 TF/s) is below the 10k north star, so
+    # int8 is the production extraction configuration, as in any serving
+    # engine. BENCH_QUANT=0 benches only the bf16 path.
+    quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    # BENCH_MODEL switches the trunk (e.g. wavlm_large) under the identical
+    # protocol; the driver's headline metric stays hubert_large_ll60k
+    model_name = os.environ.get("BENCH_MODEL", "hubert_large_ll60k")
+
+    audio_sec_per_sec = measure(model_name, quant, mode, flash, batch_size, secs, iters)
+    # the bf16 (reference-precision) number rides along in the same JSON line
+    # so round-over-round ratios stay comparable across precision changes
+    # (ADVICE r2 #3 / VERDICT r3 #9)
+    bf16_value = (
+        measure(model_name, False, mode, flash, batch_size, secs, iters)
+        if quant
+        else audio_sec_per_sec
+    )
     payload = {
         "metric": (
             "hubert_large_extraction_throughput"
@@ -105,6 +118,7 @@ def main():
         "value": round(audio_sec_per_sec, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
+        "bf16_value": round(bf16_value, 1),
         "precision": "int8_w8a8" if quant else "bf16",
         "quality": (
             "24L/1024 per-layer cos >0.999 vs float + downstream-neutral probe "

@@ -36,9 +36,18 @@ def register(name: str):
     return deco
 
 
-def options() -> List[str]:
-    """All registered upstream names (analog of hub.options, s3prl/hub.py:40)."""
-    return sorted(_REGISTRY)
+def options(only_registered_ckpt: bool = False) -> List[str]:
+    """All registered upstream names (analog of hub.options, s3prl/hub.py:40-54).
+
+    With `only_registered_ckpt=True`, generic loader entries (`*_local`,
+    `*_url`, `*_gdriveid`, `*_custom`) are filtered out, leaving only names
+    that pin a specific checkpoint — same policy as the reference.
+    """
+    names = sorted(_REGISTRY)
+    if only_registered_ckpt:
+        suffixes = ("_local", "_url", "_gdriveid", "_custom")
+        names = [n for n in names if not n.endswith(suffixes)]
+    return names
 
 
 def load(name: str, **kwargs) -> Upstream:

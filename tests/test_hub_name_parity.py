@@ -55,3 +55,16 @@ def test_every_reference_pinned_url_name_has_a_url():
     missing = sorted(ref_pinned - set(CKPT_URLS))
     assert len(ref_pinned) > 80, len(ref_pinned)
     assert not missing, f"reference-pinned entries without a URL here: {missing}"
+
+
+def test_options_only_registered_ckpt_filter():
+    """`options(only_registered_ckpt=True)` drops the generic loader
+    entries, same policy as the reference (s3prl/hub.py:40-54)."""
+    from s3prl_tpu import hub
+
+    full = hub.options()
+    pinned = hub.options(only_registered_ckpt=True)
+    assert set(pinned) <= set(full)
+    suffixes = ("_local", "_url", "_gdriveid", "_custom")
+    assert any(n.endswith(suffixes) for n in full)
+    assert not any(n.endswith(suffixes) for n in pinned)
