@@ -23,7 +23,7 @@ from ..data.dataset import _CsvDataset
 from ..data.loader import DataLoader
 from ..data.sampler import FixedBatchSizeBatchSampler
 from ..nn.upstream import SUpstream, UpstreamDownstreamModel
-from ..task.enhancement import SeparationTask, si_sdr
+from ..task.enhancement import EnhancementTask, SeparationTask
 from ..train.trainer import Trainer, TrainerConfig
 
 logger = logging.getLogger(__name__)
@@ -113,6 +113,10 @@ class SuperbSS(Problem):
             downstream=head, num_layers=upstream.num_layers,
             **config.get("build_featurizer", {}),
         )
+        if self.num_sources == 1:
+            # SE scores si_sdr/stoi/pesq and dev-best-selects by PESQ
+            # (reference enhancement_stft/expert.py:38,383-385)
+            return EnhancementTask(module)
         return SeparationTask(module, num_sources=self.num_sources)
 
     def _loader(self, workspace, csv_name, mode, config):
@@ -149,42 +153,22 @@ class SuperbSS(Problem):
         return trainer
 
     def evaluate_stage(self, workspace: Path, config: dict):
-        import jax.numpy as jnp
-
         from ..train import checkpoint as ckpt
-        from ..train.trainer import _split_batch
 
         trainer = self._trainer(workspace, config)
         loader = self._loader(workspace, "test.csv", "test", config)
         first = next(iter(loader))
         trainer.init(first, resume=False)
-        load_dir = ckpt.latest_checkpoint(workspace / "train")
+        # dev-best checkpoint first (SE: best mean PESQ; SS: best si_sdr —
+        # reference expert.py save_names discipline), else newest step
+        best = workspace / "train" / "valid_best"
+        load_dir = best if best.exists() else ckpt.latest_checkpoint(workspace / "train")
         if load_dir is not None:
             trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
 
-        si_sdrs, si_sdris = [], []
-        for batch in loader:
-            device, host = _split_batch(batch)
-            rng_key = trainer._root_key
-            loss, cache = trainer._eval_step(trainer.params, trainer.upstream.params, device, rng_key)
-            masks = jnp.asarray(cache["masks"])
-            est = trainer.task.reconstruct(masks, device["x"], device["x"].shape[1])
-            est = np.asarray(est)
-            mix = np.asarray(device["x"])
-            refs = np.asarray(device["sources"])
-            for b in range(len(est)):
-                n = int(device["x_len"][b])
-                # best permutation by SI-SDR
-                import itertools
-
-                best = max(
-                    np.mean([si_sdr(est[b, p[s], :n], refs[b, s, :n]) for s in range(self.num_sources)])
-                    for p in itertools.permutations(range(self.num_sources))
-                )
-                base = np.mean([si_sdr(mix[b, :n], refs[b, s, :n]) for s in range(self.num_sources)])
-                si_sdrs.append(best)
-                si_sdris.append(best - base)
-        logs = {"si_sdr": float(np.mean(si_sdrs)), "si_sdri": float(np.mean(si_sdris))}
+        # the eval step caches reconstructed waveforms; the task reduction
+        # scores si_sdr(+stoi/pesq for SE) per utterance with PIT ordering
+        logs = trainer.evaluate(loader, "test")
         with open(workspace / "result.yaml", "w") as f:
             yaml.safe_dump({"test": logs}, f)
         return {"test": logs}

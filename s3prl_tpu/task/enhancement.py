@@ -46,9 +46,6 @@ class SeparationTask(Task):
         self.perms = list(itertools.permutations(range(num_sources)))
         self.host_keys = ("unique_name",)
 
-    valid_metric = "loss"
-    valid_higher_better = False
-
     def loss_and_cache(self, params, hs, h_lens, batch, rng, train):
         out, out_lens = self.module.apply(
             {"params": params}, hs, h_lens, train=train,
@@ -84,15 +81,61 @@ class SeparationTask(Task):
         losses = jnp.stack([perm_loss(p) for p in self.perms])  # [P, B]
         best = jnp.argmin(losses, axis=0)
         loss = jnp.min(losses, axis=0).mean()
-        return loss, {
+        cache = {
             "loss": loss,
             "masks": masks,
             "best_perm": best,
             "out_lens": jnp.minimum(out_lens, Tm),
         }
+        if not train:
+            # eval cache carries reconstructed waveforms + references so the
+            # host-side reduction can score si_sdr(/stoi/pesq) per utterance,
+            # matching the reference's dev/test metric flow
+            # (separation_stft2/expert.py:255-300, enhancement_stft:299)
+            cache["est_wav"] = self.reconstruct(masks, batch["x"], batch["x"].shape[1])
+            cache["x"] = batch["x"]
+            cache["x_len"] = batch["x_len"]
+            cache["sources"] = batch["sources"]
+        return loss, cache
+
+    #: metrics scored on reconstructed waveforms during valid/test; SS scores
+    #: si_sdr only, SE adds stoi+pesq (reference COMPUTE_METRICS lists,
+    #: separation_stft2/expert.py:38 vs enhancement_stft/expert.py:38)
+    compute_metrics: tuple = ("si_sdr",)
+
+    # reference separation_stft2/expert.py:356: dev-best by mean si_sdr
+    valid_metric = "si_sdr"
+    valid_higher_better = True
 
     def reduction(self, mode: str, records: List[Dict[str, Any]]) -> Dict[str, float]:
-        return {"loss": float(np.mean([float(r["loss"]) for r in records]))}
+        logs = {"loss": float(np.mean([float(r["loss"]) for r in records]))}
+        if mode == "train" or not records or "est_wav" not in records[0]:
+            return logs
+        from ..metric.quality import pesq as pesq_fn
+        from ..metric.quality import stoi as stoi_fn
+
+        vals: Dict[str, list] = {m: [] for m in self.compute_metrics}
+        vals["si_sdri"] = []
+        for r in records:
+            est, mix, refs = r["est_wav"], r["x"], r["sources"]
+            for b in range(len(est)):
+                n = int(r["x_len"][b])
+                perm = self.perms[int(r["best_perm"][b])]
+                e = est[b][list(perm)]  # PIT ordering from the loss, as in
+                # the reference eval (compute_permutation=False over the
+                # PIT-ordered hypotheses)
+                sdrs = [si_sdr(e[s, :n], refs[b, s, :n]) for s in range(self.num_sources)]
+                base = [si_sdr(mix[b, :n], refs[b, s, :n]) for s in range(self.num_sources)]
+                vals["si_sdr"].append(float(np.mean(sdrs)))
+                vals["si_sdri"].append(float(np.mean(sdrs) - np.mean(base)))
+                if "stoi" in vals:
+                    vals["stoi"].append(stoi_fn(refs[b, 0, :n], e[0, :n], 16000))
+                if "pesq" in vals:
+                    vals["pesq"].append(pesq_fn(refs[b, 0, :n], e[0, :n], 16000))
+        for k, v in vals.items():
+            if v:
+                logs[k] = float(np.nanmean(v))
+        return logs
 
     def reconstruct(self, masks: jnp.ndarray, mixture: jnp.ndarray, length: int):
         """masks[B, T, S, F] + mixture wav -> separated wavs [B, S, length]."""
@@ -114,5 +157,8 @@ class EnhancementTask(SeparationTask):
     def __init__(self, module, n_fft: int = N_FFT):
         super().__init__(module, num_sources=1, n_fft=n_fft)
 
-    def reduction(self, mode, records):
-        return {"loss": float(np.mean([float(r["loss"]) for r in records]))}
+    # reference enhancement_stft/expert.py:38,383-385: SE scores all three
+    # metrics and tracks the dev-best checkpoint by mean PESQ
+    compute_metrics = ("si_sdr", "stoi", "pesq")
+    valid_metric = "pesq"
+    valid_higher_better = True

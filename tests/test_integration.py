@@ -190,7 +190,8 @@ def test_qbe_example(tmp_path):
 
 
 def test_se_example(tmp_path):
-    """SE end-to-end: mask training + SI-SDRi evaluation."""
+    """SE end-to-end: mask training + SI-SDRi/STOI/PESQ evaluation (the
+    reference's enhancement_stft COMPUTE_METRICS; dev-best by PESQ)."""
     from s3prl_tpu.problem import SeExample
 
     problem = SeExample()
@@ -199,6 +200,13 @@ def test_se_example(tmp_path):
     results = problem.run(str(tmp_path), **config)
     logs = results["evaluate_stage"]["test"]
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
+    # first-party STOI/PESQ ride in the same result.yaml (may be nan for
+    # sub-minimum-length clips, but the keys must be reported)
+    assert "pesq" in logs and "stoi" in logs
+    assert np.isnan(logs["pesq"]) or 1.0 <= logs["pesq"] <= 4.644
+    # stoi is a mean of correlations: barely-trained masks can score
+    # slightly negative (the reference's pystoi doesn't clamp either)
+    assert np.isnan(logs["stoi"]) or -1.0 <= logs["stoi"] <= 1.0
 
 
 def test_amsoftmax_segment_example(tmp_path):
