@@ -61,6 +61,11 @@ def get_args(argv=None):
     # reference semantics: resume is OPT-IN via -a (run_downstream.py:93-107);
     # without it a stale expdir starts training from scratch
     parser.add_argument("-a", "--auto_resume", action="store_true", default=False)
+    # reference run_downstream.py:77-78: publish the trained experiment to
+    # the Hugging Face Hub (train/hub_export.py; upload is egress-gated,
+    # staging always happens)
+    parser.add_argument("--push_to_hf_hub", action="store_true", default=False)
+    parser.add_argument("--hf_hub_org", default=None)
     return parser.parse_args(argv)
 
 
@@ -83,7 +88,15 @@ def main(argv=None):
     config.setdefault("train", {})["auto_resume"] = bool(args.auto_resume)
     target_dir = config.pop("target_dir")
     if args.mode == "train":
-        return problem.run(target_dir, **config)
+        result = problem.run(target_dir, **config)
+        if args.push_to_hf_hub:
+            from .train.hub_export import push_to_hub
+
+            push_to_hub(
+                target_dir, upstream=args.upstream, problem=name,
+                organization=args.hf_hub_org,
+            )
+        return result
     if args.mode == "inference":
         from pathlib import Path
 

@@ -199,6 +199,32 @@ def test_pallas_posconv_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_pallas_posconv_int8_quality():
+    """pos_conv_gelu_q8 (per-window activation scale, int8 MXU GEMMs) stays
+    cosine >0.999 vs the f32 XLA grouped conv — the serving-precision gate
+    for the quantized positional embedding."""
+    import flax.linen as nn
+
+    from s3prl_tpu.kernels.posconv import pos_conv_gelu_q8
+
+    rng = np.random.RandomState(7)
+    B, T, C, G, K = 2, 64, 128, 2, 32
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    kern = jnp.asarray(rng.randn(K, C // G, C).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(C).astype(np.float32) * 0.01)
+
+    pad = K // 2
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1,), ((pad, pad),), feature_group_count=G,
+        dimension_numbers=("NWC", "WIO", "NWC"))[:, :-1] + bias
+    ref = nn.gelu(ref, approximate=False)
+
+    out = pos_conv_gelu_q8(x, kern, bias, groups=G, interpret=True)
+    r, o = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    cos = (r * o).sum() / np.sqrt((r**2).sum() * (o**2).sum())
+    assert cos > 0.999, cos
+
+
 def test_bq_env_override_matches_default(monkeypatch):
     """S3PRL_BQ retiles the serving attention kernels without changing
     numerics (T=200 splits into two 128-row blocks instead of one 512)."""
