@@ -103,10 +103,10 @@ def main():
     audio_sec_per_sec = measure(model_name, quant, mode, flash, batch_size, secs, iters)
     # the bf16 (reference-precision) number rides along in the same JSON line
     # so round-over-round ratios stay comparable across precision changes
-    # (ADVICE r2 #3 / VERDICT r3 #9)
+    # (ADVICE r2 #3 / VERDICT r3 #9); BENCH_BF16=0 skips it for tile sweeps
     bf16_value = (
         measure(model_name, False, mode, flash, batch_size, secs, iters)
-        if quant
+        if quant and os.environ.get("BENCH_BF16", "1") == "1"
         else audio_sec_per_sec
     )
     payload = {

@@ -3,9 +3,14 @@
 
 1. packaging smoke: `from s3prl_tpu.nn import SUpstream` imports cleanly
    (the reference runs this before test deps, tox.ini:28);
-2. the full CPU test suite.
+2. the test suite — the fast default tier (tests/slow_tests.txt tiered out;
+   the reference tiers by opt-in markers, test/conftest.py:8-84), or the
+   full suite with --full.
 
-Usage: python ci/check.py [--quick]
+Usage: python ci/check.py [--quick | --full]
+  (default)  fast tier: pytest -q        (~5 min warm-cache)
+  --quick    3 core modules only         (~1 min)
+  --full     everything: pytest --runslow (~45 min on a 1-CPU box)
 """
 
 import subprocess
@@ -20,6 +25,7 @@ QUICK_TESTS = [
 
 def main():
     quick = "--quick" in sys.argv
+    full = "--full" in sys.argv
     print("[1/2] import smoke test")
     subprocess.run(
         [sys.executable, "-c",
@@ -30,7 +36,12 @@ def main():
     )
     print("[2/2] pytest")
     args = [sys.executable, "-m", "pytest", "-q"]
-    args += QUICK_TESTS if quick else ["tests/"]
+    if quick:
+        args += QUICK_TESTS
+    elif full:
+        args += ["tests/", "--runslow"]
+    else:
+        args += ["tests/"]
     subprocess.run(args, check=True)
     print("CI green")
 

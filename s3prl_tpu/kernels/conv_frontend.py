@@ -228,24 +228,24 @@ def _mid_kernel(p_ref, p1_ref, s_ref, s1_ref, w_ref, ws_ref, g_ref, b_ref,
         os_ref[0] = jnp.ones_like(s_ref[0, :, 0:1])
 
 
-def _mid_kernel_bf16(p_ref, p1_ref, w_ref, g_ref, b_ref, o_ref, *, k):
+def _mid_kernel_bf16(p_ref, p1_ref, w_ref, g_ref, b_ref, o_ref, *, k,
+                     gelu_mode=None):
     """bf16 twin of _mid_kernel: conv (pair-interleaved taps) + LN + GELU
-    in one pass, no quantization."""
+    in one pass, no quantization. The taps are consumed as ONE K=k*C GEMM —
+    the k=3 im2col matrix is a lane-aligned concat of the pair block and
+    the shifted even column (offsets 0/C/2C, all multiples of 128), which
+    the MXU sustains far above three K=C GEMMs (measured 32-42 TF/s for the
+    split form vs ~179 TF/s matmul roof)."""
     C = w_ref.shape[0] // k
-    acc = jax.lax.dot_general(
-        p_ref[0, :, :C], w_ref[:C, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc = acc + jax.lax.dot_general(
-        p_ref[0, :, C:], w_ref[C : 2 * C, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     if k == 3:
-        acc = acc + jax.lax.dot_general(
-            p1_ref[0, :, :C], w_ref[2 * C :, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    o_ref[0] = _ln_gelu(acc, g_ref, b_ref).astype(o_ref.dtype)
+        mat = jnp.concatenate([p_ref[0], p1_ref[0, :, :C]], axis=1)
+    else:
+        mat = p_ref[0]
+    acc = jax.lax.dot_general(
+        mat, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = _ln_gelu(acc, g_ref, b_ref, gelu_mode).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -320,6 +320,21 @@ class ConvFeatureExtractor(nn.Module):
                     name=f"conv_{i}",
                 )(x)
             if self.mode == "layer_norm":
+                if not train and os.environ.get("S3PRL_MIDLN", "xla") == "pallas":
+                    # Opt-in A/B knob, NOT the default: standalone XLA LN+GELU
+                    # measures ~194 GB/s vs the chip's ~793 GB/s copy rate
+                    # (tools/bench_hbm.py), but IN-GRAPH the kernel boundary
+                    # breaks XLA's conv/LN/GELU consumer fusion and the full
+                    # path LOSES (3,489 vs 4,423 audio-sec/s on-chip, r4 A/B).
+                    # Kept for re-measurement on future compiler versions.
+                    from ..kernels.ln_gelu import ln_gelu
+
+                    g, bt = _NormParams(dim, name=f"ln_{i}")()
+                    x = ln_gelu(
+                        x, g, bt, interpret=jax.default_backend() == "cpu",
+                        gelu_mode="tanh" if serving_tanh else None,
+                    )
+                    continue  # GELU folded into the kernel epilogue
                 x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
             elif self.mode == "default" and i == 0:
                 # groups == channels: per-channel instance norm over time

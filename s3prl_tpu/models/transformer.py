@@ -75,15 +75,18 @@ class ConvPositionalEmbedding(nn.Module):
         from ..kernels.posconv import TC as _PTC
 
         k = self.kernel_size
+        posconv_impl = os.environ.get("S3PRL_POSCONV", "")
         if (
-            os.environ.get("S3PRL_POSCONV") == "pallas"
+            posconv_impl in ("pallas", "pallas_q8")
             and k % 2 == 0 and k % _PTC == 0
             and self.features % self.groups == 0
             and x.shape[1] <= 2048  # kernel VMEM bound; XLA beyond
         ):
             # grouped-conv-as-long-K-GEMMs Pallas kernel (kernels/posconv.py)
-            # — opt-in A/B knob for serving; identical param path to nn.Conv
-            from ..kernels.posconv import pos_conv_gelu
+            # — opt-in A/B knob for serving; identical param path to nn.Conv.
+            # "pallas_q8" runs the int8 W8A8 twin (per-(batch,group) window
+            # scale; quality pinned in tests/test_kernels.py)
+            from ..kernels.posconv import pos_conv_gelu, pos_conv_gelu_q8
 
             class _ConvParams(nn.Module):
                 shape: tuple
@@ -105,7 +108,8 @@ class ConvPositionalEmbedding(nn.Module):
             )()
             import jax as _jax
 
-            return pos_conv_gelu(
+            fn = pos_conv_gelu_q8 if posconv_impl == "pallas_q8" else pos_conv_gelu
+            return fn(
                 x, kern, bias, groups=self.groups,
                 interpret=_jax.default_backend() == "cpu",
             )

@@ -91,10 +91,30 @@ def pytest_addoption(parser):
     )
 
 
+def _slow_manifest():
+    """Measured-slow tests tiered out of the default run (reference pattern:
+    opt-in markers, test/conftest.py:8-84). tests/slow_tests.txt holds one
+    nodeid per line, seeded from `--durations` of a full run; regenerate
+    after big suite changes. The default tier (`pytest -q`) targets <5 min;
+    `--runslow` restores the full suite."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "slow_tests.txt"
+    if not path.exists():
+        return frozenset()
+    return frozenset(
+        line.strip() for line in path.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     skip_slow = pytest.mark.skip(reason="need --runslow option to run")
     skip_dl = pytest.mark.skip(reason="need --rundownload option (and egress) to run")
+    manifest = _slow_manifest()
     for item in items:
+        if item.nodeid in manifest:
+            item.add_marker(pytest.mark.slow)
         if "slow" in item.keywords and not config.getoption("--runslow"):
             item.add_marker(skip_slow)
         if "download" in item.keywords and not config.getoption("--rundownload"):

@@ -251,3 +251,44 @@ def test_bq_env_override_matches_default(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5
     )
+
+
+def test_pallas_ln_gelu_matches_xla():
+    """kernels/ln_gelu.py (the fused mid-conv LN+GELU epilogue, S3PRL_MIDLN)
+    matches nn.LayerNorm(fp32) + exact GELU; also checks the padded-rows
+    path (rows not a multiple of the kernel's row block)."""
+    import flax.linen as nn
+
+    from s3prl_tpu.kernels.ln_gelu import ln_gelu
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 37, 128).astype(np.float32), jnp.bfloat16)
+    scale = jnp.asarray(rng.randn(128).astype(np.float32) * 0.3 + 1.0)
+    bias = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    ref = nn.gelu(
+        ln.apply({"params": {"scale": scale, "bias": bias}}, x), approximate=False
+    ).astype(jnp.bfloat16)
+    out = ln_gelu(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_convfe_midln_pallas_matches_xla(monkeypatch):
+    """S3PRL_MIDLN=pallas (opt-in A/B knob; default stays on XLA, which wins
+    end-to-end) keeps the layer_norm-mode conv extractor's output equal to
+    the pure-XLA lowering on identical params."""
+    from s3prl_tpu.models.convfe import ConvFeatureExtractor
+
+    layers = ((64, 10, 5), (64, 3, 2), (64, 2, 2))
+    rng = np.random.RandomState(3)
+    wavs = jnp.asarray(rng.randn(2, 1600).astype(np.float32))
+    mod = ConvFeatureExtractor(conv_layers=layers, mode="layer_norm")
+    params = mod.init(jax.random.key(0), wavs)
+    monkeypatch.setenv("S3PRL_MIDLN", "xla")
+    ref = mod.apply(params, wavs)
+    monkeypatch.setenv("S3PRL_MIDLN", "pallas")
+    out = mod.apply(params, wavs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -91,10 +91,16 @@ def main():
     def pallas_int8(x):
         return pos_conv_gelu_q8(x, kern, bias, groups=G, gelu_mode=GELU)
 
-    # quality gate for the quantized variant (vs fp32 XLA reference)
+    # quality gate for the quantized variant (vs fp32 XLA reference); a
+    # lowering failure in one Pallas case must not kill the other cases
     ref = np.asarray(xla_case(x.astype(jnp.float32))).astype(np.float64)
     for name, fn in [("pallas_bf16", pallas_bf16), ("pallas_int8", pallas_int8)]:
-        y = np.asarray(fn(x)).astype(np.float64)
+        try:
+            y = np.asarray(fn(x)).astype(np.float64)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"case": f"{name}_cosine_vs_f32",
+                              "error": str(e).splitlines()[0][:200]}), flush=True)
+            continue
         cos = float(
             (ref * y).sum() / np.sqrt((ref**2).sum() * (y**2).sum()))
         print(json.dumps({"case": f"{name}_cosine_vs_f32", "cosine": round(cos, 6)}),
@@ -102,7 +108,12 @@ def main():
 
     for name, fn in [("xla", xla_case), ("pallas_bf16", pallas_bf16),
                      ("pallas_int8", pallas_int8)]:
-        s = _marginal(fn, x)
+        try:
+            s = _marginal(fn, x)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"case": name,
+                              "error": str(e).splitlines()[0][:200]}), flush=True)
+            continue
         print(json.dumps({"case": name, "ms": round(s * 1e3, 3),
                           "tflops": round(flops / s / 1e12, 1)}), flush=True)
 
