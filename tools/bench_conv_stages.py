@@ -146,8 +146,33 @@ def main():
                 jnp.var(y.astype(jnp.float32), -1, keepdims=True) + 1e-5)
             return nn.gelu(yn, approximate=GELU_TANH).astype(x.dtype)
 
+        def pair_stage(x, ki=ki, dim=dim, k=k, st=st):
+            # stride-2 pair trick: x.reshape(B, T/2, 2C) is FREE and its rows
+            # [x[2j] | x[2j+1]] feed taps 0+1 as ONE K=2C GEMM; only tap 2
+            # (k=3) reads the shifted even column. No im2col copy for 2/3 of
+            # the weight matrix.
+            assert st == 2, st
+            t_o = (x.shape[1] - k) // st + 1
+            C = x.shape[2]
+            need = 2 * t_o + 2  # one pair row beyond the last output
+            xp = (jnp.pad(x, ((0, 0), (0, need - x.shape[1]), (0, 0)))
+                  if x.shape[1] < need else x[:, :need])
+            P = xp.reshape(x.shape[0], t_o + 1, 2 * C)
+            w01 = ki[:2].astype(x.dtype).reshape(2 * C, dim)
+            y = jnp.einsum("btc,co->bto", P[:, :t_o], w01)
+            if k == 3:
+                y = y + jnp.einsum(
+                    "btc,co->bto", P[:, 1:, :C], ki[2].astype(x.dtype))
+            yn = (y.astype(jnp.float32)
+                  - jnp.mean(y.astype(jnp.float32), -1, keepdims=True))
+            yn = yn * jax.lax.rsqrt(
+                jnp.var(y.astype(jnp.float32), -1, keepdims=True) + 1e-5)
+            return nn.gelu(yn, approximate=GELU_TANH).astype(x.dtype)
+
         s = _marginal(xla_stage, x)
         emit(f"xla_conv{i}_k{k}", s, flops, bytes_)
+        s = _marginal(pair_stage, x)
+        emit(f"pair_conv{i}_k{k}", s, flops, bytes_)
         s = _marginal(im2col_stage, x)
         emit(f"im2col_conv{i}_k{k}", s, flops, bytes_)
         s = _marginal(pertap_stage, x)
