@@ -248,6 +248,140 @@ def bench_encoder(flash: bool):
     report(f"encoder_{'flash' if flash else 'xla'}", ms, flops, f"T={T_FEAT}")
 
 
+def bench_encoder_fused(flash: bool = True):
+    """Encoder compute WITHOUT hidden-state materialization: the fused
+    weighted-sum path collects no ys and does no [L+1] stack/concat.
+    encoder_flash − encoder_fused ≈ the HBM cost of materializing the
+    [25, B, T, C] hidden-state stack (scan ys writes + final concat)."""
+    from s3prl_tpu.models.transformer import TransformerEncoder
+
+    mod = TransformerEncoder(
+        embed_dim=C, ffn_dim=FFN, num_layers=L, num_heads=H,
+        layer_norm_first=True, dropout=0.0, attention_dropout=0.0,
+        use_flash=flash, quantize=os.environ.get("BENCH_QUANT", "0") == "1",
+        dtype=DT,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T_FEAT, C).astype(np.float32), DT)
+    w = jax.nn.softmax(jnp.zeros((L + 1,), jnp.float32))
+    params = jax.jit(mod.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def loop(params, x):
+        def body(i, carry):
+            h, acc = carry
+            _, hs = mod.apply(params, h, layer_weights=w)
+            dep = 0.0 * hs[-1, :, :1, :1].astype(h.dtype).mean(-1, keepdims=True)
+            return (h + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, params, x)
+    per_tok = 2 * (C * 3 * C + C * C + C * FFN + FFN * C)
+    attn = 2 * 2 * T_FEAT * C
+    flops = B * T_FEAT * L * (per_tok + attn)
+    report("encoder_fused", ms, flops, f"T={T_FEAT} no-hs-stack")
+
+
+def bench_trunk():
+    """The real full path WITHOUT standardize_hidden_states: full − trunk
+    isolates the match-length repeat-frame copy over [25, B, T, C]."""
+    from s3prl_tpu import hub
+
+    up = hub.load("hubert_large_ll60k", dtype=DT,
+                  flash=os.environ.get("BENCH_FLASH", "1") == "1",
+                  quantize=os.environ.get("BENCH_QUANT", "0") == "1")
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
+    lens = jnp.full((B,), T_WAV, jnp.int32)
+
+    @jax.jit
+    def loop(params, wavs, lens):
+        def body(i, carry):
+            w, acc = carry
+            hs, _ = up.apply_fn(params, w, lens, False, None)
+            dep = 0.0 * hs[-1, :, 0, :1].astype(w.dtype).mean(-1, keepdims=True)
+            return (w + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (wavs, jnp.float32(0)))
+        return acc
+
+    ms = timeit(loop, up.params, wavs, lens)
+    report("trunk_nostd", ms, 0, f"audio-sec/s={B * SECS / ms:.0f}")
+
+
+def bench_glue():
+    """Isolated glue ops of the trunk that no other component covers:
+    normalize_wavs, post-conv fp32 LN + 512->1024 proj, and the
+    standardize repeat-frame copy over the [25, B, T, C] stack."""
+    import flax.linen as nn
+
+    from s3prl_tpu.models.wav2vec2 import normalize_wavs
+    from s3prl_tpu.upstream.base import standardize_hidden_states
+
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray(rng.randn(B, T_WAV).astype(np.float32))
+    lens = jnp.full((B,), T_WAV, jnp.int32)
+
+    @jax.jit
+    def norm_loop(wavs):
+        def body(i, carry):
+            w, acc = carry
+            o = normalize_wavs(w, lens)
+            return w + 0.0 * o[:, :1], acc + o[0, 0]
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (wavs, jnp.float32(0)))
+        return acc
+
+    ms = timeit(norm_loop, wavs)
+    report("glue_normalize_wavs", ms, 0, f"[{B},{T_WAV}] fp32")
+
+    feats = jnp.asarray(rng.randn(B, T_FEAT, 512).astype(np.float32), DT)
+
+    class Proj(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x)
+            return nn.Dense(C, dtype=DT)(y.astype(DT))
+
+    mod = Proj()
+    params = jax.jit(mod.init)(jax.random.key(0), feats)
+
+    @jax.jit
+    def proj_loop(params, x):
+        def body(i, carry):
+            h, acc = carry
+            o = mod.apply(params, h)
+            dep = 0.0 * o[:, :1, :1].astype(h.dtype)
+            return (h + jnp.pad(dep, ((0, 0), (0, h.shape[1] - 1), (0, h.shape[2] - 511))),
+                    acc + o[0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (feats, jnp.float32(0)))
+        return acc
+
+    ms = timeit(proj_loop, params, feats)
+    report("glue_ln_proj", ms, 2 * B * T_FEAT * 512 * C, "fp32 LN + 512->1024")
+
+    hs = jnp.asarray(rng.randn(L + 1, B, T_FEAT, C).astype(np.float32) * 0.1, DT)
+
+    @jax.jit
+    def std_loop(hs):
+        def body(i, carry):
+            h, acc = carry
+            o, _ = standardize_hidden_states(h, lens, T_WAV, 320)
+            dep = 0.0 * o[-1:, :, :1, :1].astype(h.dtype)
+            return (h + jnp.pad(dep, ((0, h.shape[0] - 1), (0, 0), (0, h.shape[2] - 1), (0, h.shape[3] - 1))),
+                    acc + o[0, 0, 0, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (hs, jnp.float32(0)))
+        return acc
+
+    ms = timeit(std_loop, hs)
+    gb = (L + 1) * B * T_FEAT * C * 2 * 2 / 1e9  # read + write, bf16
+    report("glue_standardize", ms, 0, f"{gb:.2f} GB/iter repeat-frame copy")
+
+
 def bench_full():
     from s3prl_tpu import hub
 
@@ -393,6 +527,12 @@ if __name__ == "__main__":
                 bench_encoder(flash=True)
             elif c == "encoder_xla":
                 bench_encoder(flash=False)
+            elif c == "encoder_fused":
+                bench_encoder_fused()
+            elif c == "trunk":
+                bench_trunk()
+            elif c == "glue":
+                bench_glue()
             elif c == "full":
                 bench_full()
         except Exception as e:  # keep going; one component failing is itself data
