@@ -354,7 +354,7 @@ def bench_glue():
             h, acc = carry
             o = mod.apply(params, h)
             dep = 0.0 * o[:, :1, :1].astype(h.dtype)
-            return (h + jnp.pad(dep, ((0, 0), (0, h.shape[1] - 1), (0, h.shape[2] - 511))),
+            return (h + jnp.pad(dep, ((0, 0), (0, h.shape[1] - 1), (0, h.shape[2] - 1))),
                     acc + o[0, 0, 0].astype(jnp.float32))
 
         _, acc = jax.lax.fori_loop(0, ITERS, body, (feats, jnp.float32(0)))
