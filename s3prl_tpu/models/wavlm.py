@@ -145,7 +145,13 @@ class GatedRelPosLayer(nn.Module):
             (kernels/flash_attention.py gated_bias_attention_outproj) —
             the raw attention output and the [B,H,T,T] gated-bias product
             never exist in HBM. Same param tree as the unfused path.
-            S3PRL_WAVLM_FUSE=0 falls back for A/B."""
+            On-chip A/B (v5e, B=32/10 s serving protocol): the kernel
+            VMEM-OOMs at its natural BQ=256 tiling (25 MB scoped vs 16 MB)
+            and at the largest fitting tile (S3PRL_BQ=64) measures 2,518
+            audio-sec/s vs 2,564 for the split gated-MHA + int8-out-proj
+            pair — so the SPLIT path is the serving default and this
+            kernel is opt-in (S3PRL_WAVLM_FUSE=1 + S3PRL_BQ<=64) for
+            chips with larger scoped-VMEM budgets."""
             from ..kernels.flash_attention import gated_bias_attention_outproj
             from ..ops.quant import int8_matmul
             from .transformer import _AttnProjParams
@@ -168,7 +174,7 @@ class GatedRelPosLayer(nn.Module):
             self.quantize and deterministic and self.use_flash
             and self.gru_rel_pos and position_bias is not None
             and _fused_block_available()
-            and os.environ.get("S3PRL_WAVLM_FUSE", "1") == "1"
+            and os.environ.get("S3PRL_WAVLM_FUSE", "0") == "1"
         )
 
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_attn_layer_norm")
