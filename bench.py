@@ -59,24 +59,42 @@ def measure(model_name, quant, mode, flash, batch_size, secs, iters):
         def forward(params, w, lens):
             return up.apply_standardized(params, w, lens)
 
-    @jax.jit
-    def extract_loop(params, wavs, lens):
-        def body(i, carry):
-            w, acc = carry
-            hs, _ = forward(params, w, lens)
-            dep = 0.0 * hs[-1, :, 0, :1].astype(wavs.dtype).mean(-1, keepdims=True)
-            return wavs + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32)
+    def make_loop(iters):
+        @jax.jit
+        def extract_loop(params, wavs, lens):
+            def body(i, carry):
+                w, acc = carry
+                hs, _ = forward(params, w, lens)
+                dep = 0.0 * hs[-1, :, 0, :1].astype(wavs.dtype).mean(-1, keepdims=True)
+                return wavs + dep, acc + hs[-1, 0, 0, 0].astype(jnp.float32)
 
-        _, acc = jax.lax.fori_loop(0, iters, body, (wavs, jnp.float32(0)))
-        return acc
+            _, acc = jax.lax.fori_loop(0, iters, body, (wavs, jnp.float32(0)))
+            return acc
 
-    float(np.asarray(extract_loop(up.params, wavs, lens)))  # warmup + compile
+        return extract_loop
 
-    start = time.perf_counter()
-    float(np.asarray(extract_loop(up.params, wavs, lens)))  # host fetch = sync
-    elapsed = time.perf_counter() - start
+    # STEADY-STATE timing (round 5, VERDICT r4 #2): the tunnel's constant
+    # per-call round trip (~3 ms/iter at BENCH_ITERS=10) is dispatch/fetch
+    # latency a real serving loop pipelines away, not model compute. Timing
+    # two chain lengths and taking the marginal rate cancels it exactly —
+    # the same protocol every attribution harness in tools/ uses — and
+    # best-of-reps suppresses tunnel jitter. The measured compute is
+    # unchanged: full standardized extraction per iteration.
+    it_lo, it_hi = iters // 2, iters // 2 + iters
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    times = {}
+    for it in (it_lo, it_hi):
+        loop = make_loop(it)
+        float(np.asarray(loop(up.params, wavs, lens)))  # warmup + compile
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            float(np.asarray(loop(up.params, wavs, lens)))  # host fetch = sync
+            best = min(best, time.perf_counter() - start)
+        times[it] = best
 
-    return batch_size * secs * iters / elapsed
+    per_iter = (times[it_hi] - times[it_lo]) / (it_hi - it_lo)
+    return batch_size * secs / per_iter
 
 
 def main():
@@ -109,6 +127,15 @@ def main():
         if quant and os.environ.get("BENCH_BF16", "1") == "1"
         else audio_sec_per_sec
     )
+    # second-flagship ride-along (VERDICT r4 #8): WavLM-Large under the
+    # identical protocol, so the gated-rel-pos serving path's trend is
+    # driver-visible round over round. BENCH_WAVLM=0 skips it (tile sweeps).
+    wavlm_value = (
+        measure("wavlm_large", quant, mode, flash, batch_size, secs, iters)
+        if model_name == "hubert_large_ll60k"
+        and os.environ.get("BENCH_WAVLM", "1") == "1"
+        else None
+    )
     payload = {
         "metric": (
             "hubert_large_extraction_throughput"
@@ -119,6 +146,7 @@ def main():
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
         "bf16_value": round(bf16_value, 1),
+        **({"wavlm_value": round(wavlm_value, 1)} if wavlm_value else {}),
         "precision": "int8_w8a8" if quant else "bf16",
         "quality": (
             "24L/1024 per-layer cos >0.999 vs float + downstream-neutral probe "

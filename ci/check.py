@@ -1,20 +1,33 @@
 #!/usr/bin/env python
 """CI gate (analog of the reference's ci/format.py + tox flow):
 
-1. packaging smoke: `from s3prl_tpu.nn import SUpstream` imports cleanly
+1. format/lint gate: ci/format_check.py (the reference gates black+isort,
+   .github/workflows/ci.yml:66-68; this image has neither, so a stdlib
+   first-party checker enforces the same invariants);
+2. packaging smoke: `from s3prl_tpu.nn import SUpstream` imports cleanly
    (the reference runs this before test deps, tox.ini:28);
-2. the test suite — the fast default tier (tests/slow_tests.txt tiered out;
+3. the test suite — the fast default tier (tests/slow_tests.txt tiered out;
    the reference tiers by opt-in markers, test/conftest.py:8-84), or the
    full suite with --full.
 
+`--full` runs append a stamp line (UTC date, commit, pass/fail counts) to
+docs/convergence/suite_runs.jsonl so every full-suite run is auditable
+(VERDICT r4 weak #4: "nothing records when the slow tier last passed").
+
 Usage: python ci/check.py [--quick | --full]
-  (default)  fast tier: pytest -q        (~5 min warm-cache)
+  (default)  fast tier: pytest -q        (~5-10 min warm-cache)
   --quick    3 core modules only         (~1 min)
   --full     everything: pytest --runslow (~45 min on a 1-CPU box)
 """
 
+import datetime
+import json
+import pathlib
+import re
 import subprocess
 import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
 
 QUICK_TESTS = [
     "tests/test_upstream_api.py",
@@ -23,10 +36,35 @@ QUICK_TESTS = [
 ]
 
 
+def _stamp_full_run(output: str, returncode: int):
+    """Append a record of this --full run to the committed runs log."""
+    counts = {w: int(n) for n, w in re.findall(
+        r"(\d+) (passed|failed|skipped|errors?)", output[-2000:])}
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
+    rec = {
+        "date_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"),
+        "commit": commit,
+        "tier": "full",
+        "green": returncode == 0,
+        **counts,
+    }
+    path = REPO / "docs" / "convergence" / "suite_runs.jsonl"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"stamped: {rec}")
+
+
 def main():
     quick = "--quick" in sys.argv
     full = "--full" in sys.argv
-    print("[1/2] import smoke test")
+    print("[1/3] format/lint gate")
+    subprocess.run([sys.executable, str(REPO / "ci" / "format_check.py")],
+                   check=True)
+    print("[2/3] import smoke test")
     subprocess.run(
         [sys.executable, "-c",
          "import os; os.environ['JAX_PLATFORMS']='cpu'; "
@@ -34,7 +72,7 @@ def main():
          "from s3prl_tpu.nn import SUpstream; print('import OK')"],
         check=True,
     )
-    print("[2/2] pytest")
+    print("[3/3] pytest")
     args = [sys.executable, "-m", "pytest", "-q"]
     if quick:
         args += QUICK_TESTS
@@ -42,7 +80,20 @@ def main():
         args += ["tests/", "--runslow"]
     else:
         args += ["tests/"]
-    subprocess.run(args, check=True)
+    if full:
+        # tee output so the stamp can record pass/fail counts
+        proc = subprocess.Popen(args, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        chunks = []
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            chunks.append(line)
+        proc.wait()
+        _stamp_full_run("".join(chunks), proc.returncode)
+        if proc.returncode:
+            sys.exit(proc.returncode)
+    else:
+        subprocess.run(args, check=True)
     print("CI green")
 
 

@@ -11,7 +11,6 @@ without preconversion; optional resampling via scipy.signal.resample_poly
 from __future__ import annotations
 
 import wave
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

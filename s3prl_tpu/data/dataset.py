@@ -13,8 +13,7 @@ CSV schema (same as the reference's prepare_data stage): columns
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd

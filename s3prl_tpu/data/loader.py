@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 from .collate import pad_collate
 

@@ -248,13 +248,15 @@ def _mid_kernel_bf16(p_ref, p1_ref, w_ref, g_ref, b_ref, o_ref, *, k,
     o_ref[0] = _ln_gelu(acc, g_ref, b_ref, gelu_mode).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "gelu_mode"))
+def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False,
+                       gelu_mode: str = None):
     """Stride-2 valid conv (k in {2,3}) + LayerNorm + GELU, bf16 I/O.
 
     x [B, T, C], kernel [k, C, Cout] (nn.Conv layout), gamma/beta [Cout].
     Same pair-interleaving trick as the int8 chain, without requantization:
-    one read of x, one write of the activated output.
+    one read of x, one write of the activated output. `gelu_mode` as in
+    conv0_ln_gelu (None = exact erf; S3PRL_GELU env wins for A/B).
     """
     B, T, C = x.shape
     k, _, Cout = kernel.shape
@@ -282,7 +284,7 @@ def fused_conv_ln_gelu(x, kernel, gamma, beta, interpret: bool = False):
                           memory_space=pltpu.VMEM)
     )
     out, = pl.pallas_call(
-        partial(_mid_kernel_bf16, k=k),
+        partial(_mid_kernel_bf16, k=k, gelu_mode=gelu_mode),
         out_shape=(jax.ShapeDtypeStruct((B, Tp_out, Cout), x.dtype),),
         grid=(B, n_blocks),
         in_specs=[

@@ -35,7 +35,6 @@ Forward-only (serving); training and CPU fall back to ops/quant.int8_matmul.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -43,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_frontend import _erf, _gelu, _quant_rows8 as _quant_rows
+from .conv_frontend import _gelu, _quant_rows8 as _quant_rows
 
 BQ = int(__import__("os").environ.get("S3PRL_BQF", "512"))  # rows per grid cell (FFN kernel; 512 measured ~3% over 256 at the serving protocol)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
@@ -134,19 +133,21 @@ def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
 
 
 def _quant_cols_np(w):
-    from ..ops.quant import quantize_cols  # single source of the scheme
+    from ..ops.quant import as_quantized_cols  # single source of the scheme
 
-    return quantize_cols(w)
+    return as_quantized_cols(w)
 
 
 def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
                    interpret: bool = False):
     """x [B, T, C] -> [x +] fc2(gelu(fc1([LN](x)))) with W8A8 quantization.
 
-    w1 [C, FFN], w2 [FFN, C] in checkpoint dtype; quantized per output
-    channel here (XLA, trivial vs the activation work). `ln` is an optional
-    (scale[C], bias[C]) tuple applied to x before fc1 (the pre-LN block's
-    final_layer_norm); `residual=True` adds the pre-LN x back to the output.
+    w1 [C, FFN], w2 [FFN, C] in checkpoint dtype — or pre-quantized
+    (int8, scales) pairs from the model's qcache collection (re-quantizing
+    per forward costs real VPU+HBM time; ops/quant.cached_quantize_cols).
+    `ln` is an optional (scale[C], bias[C]) tuple applied to x before fc1
+    (the pre-LN block's final_layer_norm); `residual=True` adds the pre-LN
+    x back to the output.
     """
     w1q, w1s = _quant_cols_np(w1)
     w2q, w2s = _quant_cols_np(w2)
@@ -215,6 +216,7 @@ def _linear_call(x, residual, wq, b, ws, ln2, interpret=False):
 def fused_int8_linear(x, w, b, ln=None, residual=None, interpret: bool = False):
     """x [B, T, C] -> [LN](x) @ w + b [+ residual], W8A8 quantized.
 
+    `w`: raw [C, N] weights or a pre-quantized (int8, scales) qcache pair.
     `ln`: optional (scale[C], bias[C]) folded before the matmul (the pre-LN
     block's self_attn_layer_norm feeding the QKV projection). `residual`:
     optional [B, T, N] tensor added after the bias (the attention block's

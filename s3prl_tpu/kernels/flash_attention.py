@@ -20,11 +20,9 @@ problem — diarization-style chunking is the intended route).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -341,12 +339,12 @@ def fused_qkv_attention_outproj(qkv, residual, wo, bo, kv_lens,
     """
     B, T, C3 = qkv.shape
     C = C3 // 3
-    from ..ops.quant import int8_matmul, quantize_cols
+    from ..ops.quant import as_quantized_cols, int8_matmul
 
     if T > MAX_KERNEL_T:
         out = fused_qkv_attention(qkv, kv_lens, num_heads, interpret=interpret)
         return residual + int8_matmul(out, wo, bo, out_dtype=residual.dtype)
-    wo_q, wo_s = quantize_cols(wo)
+    wo_q, wo_s = as_quantized_cols(wo)
     interpret = interpret or jax.default_backend() == "cpu"
     return _fused_qkv_attention_outproj_call(
         qkv, residual, wo_q, wo_s, bo, kv_lens, num_heads, interpret=interpret
@@ -467,9 +465,9 @@ def gated_bias_attention_outproj(qkv, residual, pos_bias, gate, wo, bo,
             interpret=interpret,
         ).transpose(0, 2, 1, 3).reshape(B, T, C)
         return residual + int8_matmul(out, wo, bo, out_dtype=residual.dtype)
-    from ..ops.quant import quantize_cols
+    from ..ops.quant import as_quantized_cols
 
-    wo_q, wo_s = quantize_cols(wo)
+    wo_q, wo_s = as_quantized_cols(wo)
     interpret = interpret or jax.default_backend() == "cpu"
     return _gated_outproj_call(qkv, residual, pos_bias, gate, wo_q, wo_s, bo,
                                kv_lens, num_heads, interpret=interpret)
@@ -578,12 +576,12 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
     checkpoint dtype. Sequences beyond MAX_BLOCK_T fall back to the
     LN -> int8 qkv -> fused attention+out-proj split path.
     """
-    from ..ops.quant import quantize_cols
+    from ..ops.quant import as_quantized_cols
 
     B, T, C = x.shape
     ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
-    wq_q, wq_s = quantize_cols(wq)
-    wo_q, wo_s = quantize_cols(wo)
+    wq_q, wq_s = as_quantized_cols(wq)
+    wo_q, wo_s = as_quantized_cols(wo)
     interpret = interpret or jax.default_backend() == "cpu"
     return _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
                             num_heads, interpret=interpret)

@@ -113,6 +113,7 @@ def pos_conv_gelu_q8(x, kernel, bias, groups: int = 16,
     tc = TC_Q8
     assert C % G == 0 and cg == C // G, (C, G, cg)
     assert k % tc == 0, k
+    assert T <= 2048, f"T={T} beyond the kernel's VMEM bound; use XLA"
     pad = k // 2
     x_pad = jnp.pad(x, ((0, 0), (pad, pad - 1 + (k % 2)), (0, 0)))
     xsh, tw = _shift_stack(x_pad, B, T, G, cg, k, tc)
@@ -168,6 +169,7 @@ def pos_conv_gelu(x, kernel, bias, groups: int = 16, interpret: bool = False,
     tc = TC
     assert C % G == 0 and cg == C // G, (C, G, cg)
     assert k % tc == 0, k
+    assert T <= 2048, f"T={T} beyond the kernel's VMEM bound; use XLA"
     pad = k // 2
     # same-pad; even k emits T+1 rows and the reference drops the last ->
     # rows 0..T-1, each reading x_pad[i : i+k]

@@ -8,7 +8,7 @@ numpy DP) instead of binding the `editdistance` C package.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

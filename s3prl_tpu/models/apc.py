@@ -14,7 +14,7 @@ respected via nn.RNN's seq_lengths (the reference packs sequences).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -9,8 +9,6 @@ frame shift. Parameter-free and fully jittable.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from .apc import APCConfig, APCModel
 from .mockingjay import MockingjayConfig, MockingjayEncoder
 from .wav2vec2 import BASE, Wav2Vec2Config, Wav2Vec2Trunk
-from ..ops.masking import length_mask
 
 SEG = 16000
 STEP = 8000

@@ -15,7 +15,6 @@ batch_stats collection.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import scaled_dot_attention
 
 
 class ConvPositionalEmbedding(nn.Module):
@@ -72,13 +71,16 @@ class ConvPositionalEmbedding(nn.Module):
             return x
         import os
 
-        from ..kernels.posconv import TC as _PTC
+        from ..kernels.posconv import TC as _PTC, TC_Q8 as _PTC_Q8
 
         k = self.kernel_size
         posconv_impl = os.environ.get("S3PRL_POSCONV", "")
+        # per-impl tap-chunk divisor: the q8 kernel consumes taps in int8
+        # sublane tiles (32), the bf16 one in bf16 tiles (16)
+        _tap_div = _PTC_Q8 if posconv_impl == "pallas_q8" else _PTC
         if (
             posconv_impl in ("pallas", "pallas_q8")
-            and k % 2 == 0 and k % _PTC == 0
+            and k % 2 == 0 and k % _tap_div == 0
             and self.features % self.groups == 0
             and x.shape[1] <= 2048  # kernel VMEM bound; XLA beyond
         ):
@@ -272,6 +274,13 @@ class EncoderLayer(nn.Module):
             return nn.silu(x)
         raise ValueError(self.activation)
 
+    def _qw(self, name, w):
+        # serving weights quantize ONCE per loaded model (qcache collection;
+        # measured +0.12 ms/layer when re-quantized every forward)
+        from ..ops.quant import cached_quantize_cols
+
+        return cached_quantize_cols(self, name, w)
+
     def _fused_block(self, x, key_padding_mask):
         # helper called from the compact __call__ — declares the same
         # submodule/param names as the unfused path
@@ -292,10 +301,11 @@ class EncoderLayer(nn.Module):
             if key_padding_mask is not None
             else jnp.full((B,), T, jnp.int32)
         )
-        qkv = fused_int8_linear(x, kq, bq, ln=ln1)
+        qkv = fused_int8_linear(x, self._qw("qkv_q8", kq), bq, ln=ln1)
         a = fused_qkv_attention(qkv, kv_lens, self.num_heads)
-        x = fused_int8_linear(a, ko, bo, residual=x)
-        return fused_int8_ffn(x, k1, b1, k2, b2, ln=ln2, residual=True)
+        x = fused_int8_linear(a, self._qw("out_proj_q8", ko), bo, residual=x)
+        return fused_int8_ffn(x, self._qw("fc1_q8", k1), b1,
+                              self._qw("fc2_q8", k2), b2, ln=ln2, residual=True)
 
     @nn.compact
     def __call__(
@@ -343,7 +353,8 @@ class EncoderLayer(nn.Module):
 
                 k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
                 k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
-                return fused_int8_ffn(h, k1, b1, k2, b2)
+                return fused_int8_ffn(h, self._qw("fc1_q8", k1), b1,
+                                      self._qw("fc2_q8", k2), b2)
             h = self._act(dense(self.ffn_dim, quantize=self.quantize,
                                 dtype=self.dtype, name="fc1")(h))
             h = drop_act(h)
@@ -378,7 +389,8 @@ class EncoderLayer(nn.Module):
                         else jnp.full((B,), T, jnp.int32)
                     )
                     x = fused_attention_block(
-                        x, kq, bq, (g_ln, b_ln), ko, bo, kv_lens,
+                        x, self._qw("qkv_q8", kq), bq, (g_ln, b_ln),
+                        self._qw("out_proj_q8", ko), bo, kv_lens,
                         self.num_heads)
                 else:
                     if _qkv_fuse_enabled():
@@ -389,17 +401,20 @@ class EncoderLayer(nn.Module):
 
                         g_ln, b_ln = NormParams(
                             self.embed_dim, name="self_attn_layer_norm")()
-                        qkv = fused_int8_linear(x, kq, bq, ln=(g_ln, b_ln))
+                        qkv = fused_int8_linear(
+                            x, self._qw("qkv_q8", kq), bq, ln=(g_ln, b_ln))
                     else:
                         h = ln_attn(x).astype(self.dtype)
-                        qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
+                        qkv = int8_matmul(h, self._qw("qkv_q8", kq), bq,
+                                          out_dtype=self.dtype)
                     kv_lens = (
                         (~key_padding_mask).sum(-1).astype(jnp.int32)
                         if key_padding_mask is not None
                         else jnp.full((B,), T, jnp.int32)
                     )
                     x = fused_qkv_attention_outproj(
-                        qkv, x, ko, bo, kv_lens, self.num_heads)
+                        qkv, x, self._qw("out_proj_q8", ko), bo, kv_lens,
+                        self.num_heads)
             else:
                 x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving and self.layer_norm_eps == 1e-5:
@@ -412,7 +427,9 @@ class EncoderLayer(nn.Module):
                 g, be = NormParams(self.embed_dim, name="final_layer_norm")()
                 k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
                 k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
-                x = fused_int8_ffn(x, k1, b1, k2, b2, ln=(g, be), residual=True)
+                x = fused_int8_ffn(x, self._qw("fc1_q8", k1), b1,
+                                   self._qw("fc2_q8", k2), b2, ln=(g, be),
+                                   residual=True)
             else:
                 ln_final = nn.LayerNorm(
                     epsilon=self.layer_norm_eps, dtype=jnp.float32,
@@ -517,7 +534,7 @@ class TransformerEncoder(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_axes={"params": 0, "batch_stats": 0},  # conformer BN stats
+            variable_axes={"params": 0, "batch_stats": 0, "qcache": 0},
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
             length=self.num_layers,
         )

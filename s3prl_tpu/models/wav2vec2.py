@@ -13,7 +13,7 @@ variants; per-layer hidden states come back as a stacked [L+1, B, T, C] array
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn

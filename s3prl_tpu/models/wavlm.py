@@ -22,14 +22,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .convfe import DEFAULT_CONV_LAYERS, ConvFeatureExtractor
+from .convfe import ConvFeatureExtractor
 from .transformer import ConvPositionalEmbedding, SelfAttention
 from .wav2vec2 import Wav2Vec2Config, normalize_wavs
 from ..ops.masking import length_mask
@@ -153,11 +153,13 @@ class GatedRelPosLayer(nn.Module):
             kernel is opt-in (S3PRL_WAVLM_FUSE=1 + S3PRL_BQ<=64) for
             chips with larger scoped-VMEM budgets."""
             from ..kernels.flash_attention import gated_bias_attention_outproj
-            from ..ops.quant import int8_matmul
+            from ..ops.quant import cached_quantize_cols, int8_matmul
             from .transformer import _AttnProjParams
 
             (kq, bq), (ko, bo) = _AttnProjParams(
                 self.embed_dim, name="self_attn")()
+            kq = cached_quantize_cols(self, "qkv_q8", kq)
+            ko = cached_quantize_cols(self, "out_proj_q8", ko)
             qkv = int8_matmul(h, kq, bq, out_dtype=self.dtype)
             kv_lens = (
                 (~key_padding_mask).sum(-1).astype(jnp.int32)
@@ -192,9 +194,13 @@ class GatedRelPosLayer(nn.Module):
                 from ..kernels.ffn import fused_int8_ffn
                 from ..ops.quant import LinearParams
 
+                from ..ops.quant import cached_quantize_cols
+
                 k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
                 k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
-                return fused_int8_ffn(h, k1, b1, k2, b2)
+                return fused_int8_ffn(h, cached_quantize_cols(self, "fc1_q8", k1),
+                                      b1, cached_quantize_cols(self, "fc2_q8", k2),
+                                      b2)
             h = nn.gelu(dense(self.ffn_dim, quantize=self.quantize,
                               dtype=self.dtype, name="fc1")(h), approximate=False)
             h = drop_act(h)
@@ -208,12 +214,15 @@ class GatedRelPosLayer(nn.Module):
                 x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving:
                 from ..kernels.ffn import fused_int8_ffn
-                from ..ops.quant import LinearParams, NormParams
+                from ..ops.quant import (LinearParams, NormParams,
+                                         cached_quantize_cols)
 
                 g, be = NormParams(self.embed_dim, name="final_layer_norm")()
                 k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
                 k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
-                x = fused_int8_ffn(x, k1, b1, k2, b2, ln=(g, be), residual=True)
+                x = fused_int8_ffn(x, cached_quantize_cols(self, "fc1_q8", k1),
+                                   b1, cached_quantize_cols(self, "fc2_q8", k2),
+                                   b2, ln=(g, be), residual=True)
             else:
                 ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                         name="final_layer_norm")
@@ -306,7 +315,7 @@ class WavLMModel(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "qcache": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.encoder_layers,
         )

@@ -9,7 +9,7 @@ careful to mask padded frames out of every reduction.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

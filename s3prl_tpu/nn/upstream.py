@@ -17,7 +17,7 @@ The TPU-native analog of s3prl.nn (reference: s3prl/nn/upstream.py:38-385):
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax

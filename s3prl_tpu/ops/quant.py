@@ -42,12 +42,48 @@ def quantize_cols(w: jnp.ndarray):
     return q, scale
 
 
-def int8_matmul(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
-                out_dtype=None):
-    """x [.., K] @ kernel [K, N] via dynamic W8A8 with int32 accumulation."""
+QCACHE = "qcache"  # flax collection holding pre-quantized serving weights
+
+
+def cached_quantize_cols(mod: nn.Module, name: str, w: jnp.ndarray):
+    """quantize_cols(w), served from the ``qcache`` variable collection.
+
+    Weight quantization is NOT free at serving time: XLA does not hoist it
+    out of the per-call forward (measured +0.12 ms/layer on the attention
+    block alone at the bench protocol — the abs-max/divide/round passes over
+    every projection matrix re-ran on every forward). Factories materialize
+    the collection once at load time (`model.apply(..., mutable=["qcache"])`)
+    and thread it through every subsequent apply; when the collection is
+    absent (training, one-off CPU tests, user-supplied param trees) this
+    falls back to inline quantization — numerics are identical either way.
+    """
+    if mod.has_variable(QCACHE, name) or mod.is_mutable_collection(QCACHE):
+        v = mod.variable(
+            QCACHE, name,
+            lambda: quantize_cols(jax.lax.stop_gradient(w)),
+        )
+        return v.value
+    return quantize_cols(w)
+
+
+def as_quantized_cols(w):
+    """Normalize a weight argument that may already be a (int8, scales)
+    pair (from the qcache) to the pair form."""
+    if isinstance(w, (tuple, list)):
+        wq, ws = w
+        return wq, ws
+    return quantize_cols(w)
+
+
+def int8_matmul(x: jnp.ndarray, kernel, bias=None, out_dtype=None):
+    """x [.., K] @ kernel [K, N] via dynamic W8A8 with int32 accumulation.
+
+    `kernel` may be the raw [K, N] weights or a pre-quantized
+    (int8 values, per-col scales) pair from the qcache.
+    """
     out_dtype = out_dtype or x.dtype
     xq, xs = quantize_rows(x)
-    wq, ws = quantize_cols(kernel)
+    wq, ws = as_quantized_cols(kernel)
     y = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -78,7 +114,8 @@ class QuantDense(nn.Module):
                        self.param_dtype)
             if self.use_bias else None
         )
-        return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+        return int8_matmul(x, cached_quantize_cols(self, "kernel_q8", kernel),
+                           bias, out_dtype=self.dtype)
 
 
 def dense(features: int, *, quantize: bool = False, dtype=jnp.float32,

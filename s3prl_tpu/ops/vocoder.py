@@ -16,7 +16,6 @@ GL baseline, deterministic, and dependency-free.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

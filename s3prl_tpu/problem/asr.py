@@ -11,17 +11,13 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Optional
 
 import pandas as pd
 import yaml
 
-from .base import Problem
 from .common import CommonProblem
-from ..data.collate import Buckets, pad_collate
 from ..data.dataset import Speech2TextDataset
 from ..data.encoder import CharacterTokenizer, PhonemeTokenizer, load_tokenizer
-from ..data.loader import DataLoader
 from ..data.sampler import SortedBucketingSampler, FixedBatchSizeBatchSampler
 from ..nn.heads import RNNEncoder
 from ..nn.upstream import SUpstream, UpstreamDownstreamModel

@@ -17,10 +17,8 @@ import pandas as pd
 import yaml
 
 from .common import CommonProblem
-from ..data.collate import Buckets, pad_collate
 from ..data.dataset import UtteranceClassificationDataset
 from ..data.encoder import CategoryEncoder
-from ..data.loader import DataLoader
 from ..nn.speaker import SuperbXvector
 from ..nn.upstream import SUpstream, UpstreamDownstreamModel
 from ..task.speaker_verification import SpeakerVerificationTask
@@ -85,7 +83,6 @@ class SuperbASV(CommonProblem):
         if load_dir is not None:
             trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
 
-        import jax
 
         emb_by_name = {}
         for batch in loader:
@@ -266,7 +263,6 @@ class Voxceleb2AMSoftmaxSegment(SuperbASV):
 
     def evaluate_stage(self, workspace: Path, config: dict):
         """Segment-unfold embedding extraction + trial cosine scoring."""
-        import jax
 
         from ..train import checkpoint as ckpt
         from ..train.trainer import _split_batch

@@ -13,14 +13,13 @@ import logging
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 import yaml
 
 from .base import Problem
 from ..data.collate import Buckets, pad_collate
 from ..data.dataset import DiarizationChunkDataset
 from ..data.loader import DataLoader
-from ..data.sampler import FixedBatchSizeBatchSampler, GroupSameItemSampler
+from ..data.sampler import FixedBatchSizeBatchSampler
 from ..nn.speaker import SuperbDiarizationModel
 from ..nn.upstream import SUpstream, UpstreamDownstreamModel
 from ..task.diarization import DiarizationPITTask

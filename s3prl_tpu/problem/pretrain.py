@@ -22,10 +22,9 @@ import flax.linen as nn
 import pandas as pd
 
 from .base import Problem
-from .common import CommonExample
 from ..data.collate import Buckets, pad_collate
 from ..data.loader import DataLoader
-from ..data.sampler import MaxTimestampBatchSampler, SortedBucketingSampler
+from ..data.sampler import SortedBucketingSampler
 from ..train.trainer import Trainer, TrainerConfig
 from ..upstream.registry import load as hub_load
 

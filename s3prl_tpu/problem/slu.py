@@ -26,10 +26,7 @@ import numpy as np
 import pandas as pd
 
 from .common import CommonProblem
-from ..data.encoder import CategoryEncoder
 from ..nn.heads import SelfAttentivePooling
-from ..nn.upstream import SUpstream, UpstreamDownstreamModel
-from ..task.utterance_classification import UtteranceClassificationTask
 
 logger = logging.getLogger(__name__)
 

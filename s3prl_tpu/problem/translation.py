@@ -139,7 +139,6 @@ class SuperbST(Problem):
         if load_dir is not None:
             trainer.params, _, _ = ckpt.load_checkpoint(load_dir, trainer.params)
         hyps, refs = [], []
-        import jax.numpy as jnp
 
         for batch in loader:
             device, host = _split_batch(batch)

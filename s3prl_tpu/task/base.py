@@ -15,7 +15,7 @@ JAX split of responsibilities:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax

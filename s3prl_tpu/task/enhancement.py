@@ -130,8 +130,9 @@ class SeparationTask(Task):
                 vals["si_sdri"].append(float(np.mean(sdrs) - np.mean(base)))
                 if "stoi" in vals:
                     vals["stoi"].append(stoi_fn(refs[b, 0, :n], e[0, :n], 16000))
-                if "pesq" in vals:
-                    vals["pesq"].append(pesq_fn(refs[b, 0, :n], e[0, :n], 16000))
+                if "pesq_approx" in vals:
+                    vals["pesq_approx"].append(
+                        pesq_fn(refs[b, 0, :n], e[0, :n], 16000))
         for k, v in vals.items():
             if v:
                 logs[k] = float(np.nanmean(v))
@@ -158,7 +159,12 @@ class EnhancementTask(SeparationTask):
         super().__init__(module, num_sources=1, n_fft=n_fft)
 
     # reference enhancement_stft/expert.py:38,383-385: SE scores all three
-    # metrics and tracks the dev-best checkpoint by mean PESQ
-    compute_metrics = ("si_sdr", "stoi", "pesq")
-    valid_metric = "pesq"
+    # metrics and tracks the dev-best checkpoint by mean PESQ. The metric is
+    # reported as ``pesq_approx``: metric/quality.pesq follows the P.862
+    # structure but its per-band constants are analytic, not the ITU tables
+    # (quality.py module docstring) — an approximate score must not appear
+    # under the ITU metric's name in result.yaml/logs until a conformance
+    # anchor exists. Dev-best selection by it is unaffected (monotone).
+    compute_metrics = ("si_sdr", "stoi", "pesq_approx")
+    valid_metric = "pesq_approx"
     valid_higher_better = True

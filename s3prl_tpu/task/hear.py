@@ -10,7 +10,7 @@ onset event-F1 are computed natively).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

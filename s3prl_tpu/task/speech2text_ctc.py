@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -112,13 +112,32 @@ def pytest_collection_modifyitems(config, items):
     skip_slow = pytest.mark.skip(reason="need --runslow option to run")
     skip_dl = pytest.mark.skip(reason="need --rundownload option (and egress) to run")
     manifest = _slow_manifest()
+    matched = set()
     for item in items:
         if item.nodeid in manifest:
+            matched.add(item.nodeid)
             item.add_marker(pytest.mark.slow)
         if "slow" in item.keywords and not config.getoption("--runslow"):
             item.add_marker(skip_slow)
         if "download" in item.keywords and not config.getoption("--rundownload"):
             item.add_marker(skip_dl)
+    # a renamed/re-parameterized test silently dropping back into the fast
+    # tier (or a stale manifest line) should be visible, not silent — but
+    # only when the whole suite was collected (a path/-k selection
+    # legitimately collects a subset)
+    if not config.args or config.args == [str(config.rootpath / "tests")] or (
+        len(config.args) == 1 and config.args[0].rstrip("/").endswith("tests")
+    ):
+        stale = manifest - matched
+        if stale:
+            import warnings
+
+            warnings.warn(
+                "tests/slow_tests.txt entries match no collected test "
+                f"(renamed or stale?): {sorted(stale)[:5]}"
+                + (f" ... +{len(stale) - 5} more" if len(stale) > 5 else ""),
+                stacklevel=1,
+            )
 
 
 @pytest.fixture(autouse=True)

@@ -7,7 +7,6 @@ s3prl_tpu.ops.audio must agree with it on unpadded utterances.
 """
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

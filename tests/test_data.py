@@ -5,17 +5,7 @@ collate bucketing, wav IO."""
 import numpy as np
 import pytest
 
-from s3prl_tpu.data import (
-    Buckets,
-    CharacterTokenizer,
-    DistributedBatchSamplerWrapper,
-    FixedBatchSizeBatchSampler,
-    MaxTimestampBatchSampler,
-    SortedBucketingSampler,
-    WordTokenizer,
-    load_wav,
-    pad_collate,
-)
+from s3prl_tpu.data import Buckets, CharacterTokenizer, DistributedBatchSamplerWrapper, MaxTimestampBatchSampler, SortedBucketingSampler, WordTokenizer, load_wav, pad_collate
 from s3prl_tpu.metric import cer, compute_eer, edit_distance, wer
 from s3prl_tpu.util.pseudo_data import pseudo_audio
 

@@ -1,7 +1,6 @@
 """SE/SS task tests: masking head trains, reconstruction improves SI-SDR."""
 
 import numpy as np
-import pytest
 
 import flax.linen as nn
 import jax

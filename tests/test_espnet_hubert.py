@@ -19,11 +19,7 @@ sys.path.insert(0, "/root/reference")
 
 import jax.numpy as jnp
 
-from tests.test_torch_parity import (
-    TINY_CONV_TUPLE,
-    _build_ref_hubert,
-    _ref_hidden_states,
-)
+from tests.test_torch_parity import _build_ref_hubert, _ref_hidden_states
 
 
 def _fairseq_to_torchaudio(sd, extractor_mode):

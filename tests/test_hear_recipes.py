@@ -4,7 +4,6 @@ the official HEAR folder layout)."""
 import json
 
 import numpy as np
-import pytest
 
 
 def _write_wavs(audio_dir, names, rng, secs=0.5):

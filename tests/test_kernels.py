@@ -2,7 +2,6 @@
 must match the plain-XLA reference path exactly."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -97,3 +97,90 @@ def test_mesh_sharded_extraction_matches_single_device():
     # regression budget (test_upstream.py atol=0.01)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_full_trunk_mesh_train_step_matches_single_device():
+    """VERDICT r4 #5: the driver's multichip gate proves a scaled-down 4Lx256
+    trunk; this proves ONE fwd+bwd+Adam step of the FULL HuBERT-Base
+    geometry (12L x 768, 7-layer conv stack) on the dp=8 virtual mesh
+    matches the single-device step (DDP semantics: psum-mean over equal
+    shards == global batch mean; reference runner.py:112-117). Slow tier:
+    the grad jit of the full trunk takes minutes on CPU."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s3prl_tpu.models.wav2vec2 import BASE, Wav2Vec2Trunk  # 12L x 768
+    from s3prl_tpu.nn.upstream import Featurizer
+    from s3prl_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    assert len(jax.devices()) == 8
+    cfg = BASE
+    assert cfg.encoder_layers == 12 and cfg.encoder_embed_dim == 768
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, wavs, lens):
+            hs, feat_lens = Wav2Vec2Trunk(cfg, name="trunk")(
+                wavs, lens, deterministic=True)
+            h, h_lens = Featurizer(
+                num_layers=cfg.encoder_layers + 1, name="featurizer")(hs, feat_lens)
+            return UtteranceLevel(output_size=4, hidden_sizes=(32,),
+                                  name="head")(h, h_lens)
+
+    model = Model()
+    B = 8
+    rng = np.random.RandomState(0)
+    wavs = rng.randn(B, 3200).astype(np.float32)
+    lens = np.full((B,), 3200, np.int32)
+    labels = (np.arange(B) % 4).astype(np.int32)
+
+    params0 = jax.jit(
+        lambda k: model.init(k, jnp.asarray(wavs), jnp.asarray(lens))
+    )(jax.random.key(0))["params"]
+    optimizer = optax.adam(1e-4)
+
+    def train_step(params, opt_state, wavs, lens, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, wavs, lens)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    results = {}
+    for tag in ("single", "mesh"):
+        params = params0
+        opt_state = optimizer.init(params)
+        w, l, y = map(jnp.asarray, (wavs, lens, labels))
+        if tag == "mesh":
+            mesh = make_mesh(dp=8, tp=1)
+            params = jax.device_put(params, param_shardings(mesh, params))
+            opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
+            b = batch_sharding(mesh)
+            w, l, y = (jax.device_put(a, b) for a in (w, l, y))
+            with mesh:
+                params, opt_state, loss = jax.jit(train_step)(
+                    params, opt_state, w, l, y)
+                loss = float(jax.block_until_ready(loss))
+        else:
+            params, opt_state, loss = jax.jit(train_step)(
+                params, opt_state, w, l, y)
+            loss = float(jax.block_until_ready(loss))
+        results[tag] = (loss, params)
+
+    assert np.isfinite(results["single"][0])
+    np.testing.assert_allclose(results["mesh"][0], results["single"][0],
+                               rtol=1e-4)
+    # the UPDATED trunk params must match too (grad psum-mean == global mean)
+    leaves_s = jax.tree_util.tree_leaves(results["single"][1])
+    leaves_m = jax.tree_util.tree_leaves(results["mesh"][1])
+    worst = max(
+        float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+        for a, b in zip(leaves_s, leaves_m)
+    )
+    assert worst < 5e-5, f"max param divergence {worst}"

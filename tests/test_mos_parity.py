@@ -17,17 +17,13 @@ sys.path.insert(0, "/root/reference")
 import jax
 import jax.numpy as jnp
 
-from s3prl_tpu.models.mos import MosConfig, MosModel
+from s3prl_tpu.models.mos import MosModel
 from s3prl_tpu.upstream.convert import load_mos_checkpoint
 
 
 def _make_ckpt(tmp_path, clipping=False, attention_pooling=False, seed=0):
     from s3prl.upstream.mos_prediction.model import MosDownstream
-    from s3prl.upstream.wav2vec2.wav2vec2_model import (
-        AudioPretrainingConfig,
-        Wav2Vec2Config as RefW2V2Config,
-        Wav2Vec2Model as RefW2V2Model,
-    )
+    from s3prl.upstream.wav2vec2.wav2vec2_model import Wav2Vec2Config as RefW2V2Config, Wav2Vec2Model as RefW2V2Model
 
     torch.manual_seed(seed)
     w2v2 = RefW2V2Model(

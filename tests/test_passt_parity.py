@@ -11,12 +11,7 @@ sys.path.insert(0, "/root/reference")
 import jax
 import jax.numpy as jnp
 
-from s3prl_tpu.models.passt import (
-    PASST_BASE,
-    PasstConfig,
-    PasstNet,
-    resample,
-)
+from s3prl_tpu.models.passt import PasstConfig, PasstNet, resample
 from s3prl_tpu.upstream.convert import passt_params_from_torch
 
 

@@ -373,3 +373,64 @@ def test_wavlm_gated_outproj_fusion_matches_split(monkeypatch, preln):
     assert hs_fused.shape == hs_split.shape
     for l in range(hs_fused.shape[0]):
         assert _cos(hs_fused[l], hs_split[l]) > 0.9999, f"layer {l}"
+
+
+def test_qcache_matches_inline_quantization(monkeypatch):
+    """The serving weight-quantization cache (ops/quant.cached_quantize_cols,
+    materialized once at load — re-quantizing every forward measured
+    +0.12 ms/layer on chip) must be numerically IDENTICAL to the inline
+    fallback, and reusable across input shapes."""
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        layer_norm_first=True, dropout=0.0, attention_dropout=0.0,
+        dropout_input=0.0,
+    )
+    wavs = jnp.asarray(np.random.RandomState(3).randn(2, 6000).astype(np.float32))
+    lens = jnp.asarray([6000, 4000])
+    trunk = Wav2Vec2Trunk(cfg, quantize=True, use_flash=True)
+    params = jax.jit(
+        lambda k: Wav2Vec2Trunk(cfg).init(k, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+
+    hs_inline, _ = trunk.apply({"params": params}, wavs, lens, deterministic=True)
+    (hs_mut, _), mut = trunk.apply({"params": params}, wavs, lens,
+                                   deterministic=True, mutable=["qcache"])
+    assert "qcache" in mut, "serving branches must populate the cache"
+    leaves = jax.tree_util.tree_leaves(mut["qcache"])
+    assert any(l.dtype == jnp.int8 for l in leaves)
+    # stacked per layer by nn.scan
+    names = mut["qcache"]["encoder"]["layers"]
+    assert {"qkv_q8", "out_proj_q8", "fc1_q8", "fc2_q8"} <= set(names)
+    assert names["fc1_q8"][0].shape == (2, 64, 128)  # [L, C, FFN] int8
+
+    hs_cached, _ = trunk.apply({"params": params, "qcache": mut["qcache"]},
+                               wavs, lens, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(hs_cached), np.asarray(hs_inline))
+    np.testing.assert_array_equal(np.asarray(hs_mut), np.asarray(hs_inline))
+
+    # the cache is shape-independent: reuse on a different batch/length
+    wavs2 = jnp.asarray(np.random.RandomState(4).randn(1, 4800).astype(np.float32))
+    lens2 = jnp.asarray([4800])
+    a, _ = trunk.apply({"params": params, "qcache": mut["qcache"]},
+                       wavs2, lens2, deterministic=True)
+    b, _ = trunk.apply({"params": params}, wavs2, lens2, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hub_load_quantized_carries_qcache():
+    """hub.load(quantize=True) must hand back variables that already carry
+    the qcache collection so serving never re-quantizes weights."""
+    from s3prl_tpu import hub
+
+    up = hub.load("hubert", quantize=True)
+    assert "qcache" in up.params
+    # the cached path serves the standardized forward unchanged
+    wavs = np.random.RandomState(5).randn(1, 8000).astype(np.float32)
+    hs, _ = up.apply_standardized(up.params, wavs, np.asarray([8000], np.int32))
+    assert hs.shape[0] == up.num_layers

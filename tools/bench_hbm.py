@@ -8,7 +8,6 @@ and a row-reduction (read-only traffic).
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")

@@ -8,7 +8,6 @@ across M/K/N and dtypes to locate the gap vs the square-matmul ceiling.
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
