@@ -291,3 +291,31 @@ def test_convfe_midln_pallas_matches_xla(monkeypatch):
     monkeypatch.setenv("S3PRL_MIDLN", "pallas")
     out = mod.apply(params, wavs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_gated_online_flash_attention_matches_xla():
+    """Long-audio WavLM path (VERDICT r4 #7): the K-blocked gated-bias
+    online kernel (pos_bias streamed from HBM in blocks; the [B,H,T,T]
+    gated product never materializes) vs the XLA reference at a T spanning
+    multiple key blocks, mixed lengths."""
+    from s3prl_tpu.kernels.flash_attention import (
+        MAX_KERNEL_T, gated_bias_attention)
+
+    B, H, T, Dh = 2, 2, MAX_KERNEL_T + 256, 16
+    rng = np.random.RandomState(12)
+    q = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, T, Dh).astype(np.float32) * 0.3)
+    pos_bias = jnp.asarray(rng.randn(H, T, T).astype(np.float32) * 0.5)
+    gate = jnp.asarray(rng.rand(B, H, T).astype(np.float32)) * 2
+    kv_lens = jnp.asarray([T, 1500], jnp.int32)
+
+    got = gated_bias_attention(q, k, v, pos_bias, gate, kv_lens,
+                               interpret=True)
+    bias = gate[..., None] * pos_bias[None]
+    pad = ~length_mask(kv_lens, T)
+    want = scaled_dot_attention(q, k, v, pad, bias)
+    valid = np.asarray(length_mask(kv_lens, T))[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid, atol=2e-5
+    )

@@ -66,7 +66,7 @@ def _fetch(x):
 
 def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
                      bo_ref, kvlen_ref, o_ref, *, num_heads, scale, softmax,
-                     attn_f32):
+                     attn_f32, vpu_bf16=False):
     Tk = x_ref.shape[0]
     Cc = o_ref.shape[1]
     Dh = Cc // num_heads
@@ -76,12 +76,20 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
     xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_ref[0, :] + ln_ref[1, :]
     s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
     x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
-    qkv = jax.lax.dot_general(
+    qkv_raw = jax.lax.dot_general(
         x8, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    dt = jnp.float32 if attn_f32 else jnp.bfloat16
-    qkv = (qkv * s_x * wqs_ref[0, :] + bq_ref[0, :]).astype(dt)
+    )
+    if vpu_bf16:
+        # dequant directly in bf16 (VPU probe): int32 accums carry 0.4%
+        # bf16 rounding vs the 0.8% int8 requant step
+        qkv = (qkv_raw.astype(jnp.bfloat16)
+               * (s_x * wqs_ref[0, :]).astype(jnp.bfloat16)
+               + bq_ref[0, :].astype(jnp.bfloat16))
+    else:
+        dt = jnp.float32 if attn_f32 else jnp.bfloat16
+        qkv = (qkv_raw.astype(jnp.float32) * s_x * wqs_ref[0, :]
+               + bq_ref[0, :]).astype(dt)
     kv_len = kvlen_ref[pl.program_id(0), 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (Tk, Tk), 1)
     penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
@@ -103,10 +111,17 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
         heads.append(jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        ).astype(jnp.bfloat16 if vpu_bf16 else jnp.float32))
     attn = jnp.concatenate(heads, axis=1)
-    s_a = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
-    a8 = jnp.clip(jnp.round(attn / s_a), -127, 127).astype(jnp.int8)
+    if vpu_bf16:
+        s_a = (jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True),
+                           jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0))
+        a8 = jnp.clip(jnp.round((attn / s_a).astype(jnp.float32)),
+                      -127, 127).astype(jnp.int8)
+        s_a = s_a.astype(jnp.float32)
+    else:
+        s_a = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
+        a8 = jnp.clip(jnp.round(attn / s_a), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         a8, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -115,7 +130,8 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def make_attn_variant(num_heads=H, softmax=True, attn_f32=False):
+def make_attn_variant(num_heads=H, softmax=True, attn_f32=False,
+                      vpu_bf16=False):
     rng = np.random.RandomState(0)
     wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.02)
     wo = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.02)
@@ -135,7 +151,7 @@ def make_attn_variant(num_heads=H, softmax=True, attn_f32=False):
         xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
         out = pl.pallas_call(
             partial(_attn_kernel_var, num_heads=num_heads, scale=Dh ** -0.5,
-                    softmax=softmax, attn_f32=attn_f32),
+                    softmax=softmax, attn_f32=attn_f32, vpu_bf16=vpu_bf16),
             out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
             grid=(B,),
             in_specs=[
@@ -182,12 +198,15 @@ def make_attn_base():
 
 # ---------------------------------------------------------------------- ffn
 
+
+
 FCHUNK = int(os.environ.get("S3PRL_FCHUNK", "2048"))
 FBQ = int(os.environ.get("S3PRL_BQF", "512"))
 
 
 def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
-                     ln_ref, o_ref, *, bounds, gelu_mode, pipe=True):
+                     ln_ref, o_ref, *, bounds, gelu_mode, pipe=True,
+                     vpu_bf16=False):
     """Software-pipelined chunk loop: GEMM1(c+1) is issued before the VPU
     epilogue of chunk c, giving Mosaic an independent MXU op to overlap
     with the dequant/GELU/requant VPU chain. pipe=False keeps the serving
@@ -214,9 +233,23 @@ def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
                 h_next = gemm1(*bounds[ci + 1])  # MXU, indep of the VPU below
         else:
             h_raw = gemm1(lo, hi)
-        h = h_raw.astype(jnp.float32) * xs * w1s_ref[0, lo:hi] + b1_ref[0, lo:hi]
-        h = _gelu(h, gelu_mode)
-        h8, hs = _quant_rows8(h)
+        if vpu_bf16:
+            # the whole dequant/GELU/requant chain in bf16: int32 accums up
+            # to ~1.6e7 carry 0.4% bf16 rounding, same order as the int8
+            # requant step itself (perf probe; quality-gate before adoption)
+            h = (h_raw.astype(jnp.bfloat16) * (xs * w1s_ref[0, lo:hi]).astype(jnp.bfloat16)
+                 + b1_ref[0, lo:hi].astype(jnp.bfloat16))
+            h = _gelu(h, gelu_mode)
+            s = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True),
+                            jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0)
+            # Mosaic has no bf16 roundeven: the round itself upcasts
+            h8 = jnp.clip(jnp.round((h / s).astype(jnp.float32)),
+                          -127, 127).astype(jnp.int8)
+            hs = s.astype(jnp.float32)
+        else:
+            h = h_raw.astype(jnp.float32) * xs * w1s_ref[0, lo:hi] + b1_ref[0, lo:hi]
+            h = _gelu(h, gelu_mode)
+            h8, hs = _quant_rows8(h)
         y = jax.lax.dot_general(
             h8, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -225,7 +258,7 @@ def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
     o_ref[:, :] = (acc + b2_ref[0, :] + x_in).astype(o_ref.dtype)
 
 
-def make_ffn_variant(pipe=True, gelu_mode="tanh"):
+def make_ffn_variant(pipe=True, gelu_mode="tanh", chunk=None, vpu_bf16=False):
     rng = np.random.RandomState(0)
     w1 = jnp.asarray(rng.randn(C, FFN).astype(np.float32) * 0.02)
     w2 = jnp.asarray(rng.randn(FFN, C).astype(np.float32) * 0.02)
@@ -239,8 +272,9 @@ def make_ffn_variant(pipe=True, gelu_mode="tanh"):
     w2q, w2s = quantize_cols(w2)
     rows = B * T
     Rp = -(-rows // FBQ) * FBQ
+    ch = chunk or FCHUNK
     bounds = tuple(
-        (s, min(s + FCHUNK, FFN)) for s in range(0, FFN, FCHUNK)
+        (s, min(s + ch, FFN)) for s in range(0, FFN, ch)
     )
 
     def block(x):
@@ -248,7 +282,7 @@ def make_ffn_variant(pipe=True, gelu_mode="tanh"):
         x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0))) if Rp != rows else x2
         out = pl.pallas_call(
             partial(_ffn_kernel_pipe, bounds=bounds, gelu_mode=gelu_mode,
-                    pipe=pipe),
+                    pipe=pipe, vpu_bf16=vpu_bf16),
             out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
             grid=(Rp // FBQ,),
             in_specs=[
@@ -287,16 +321,136 @@ def make_ffn_base():
     return block, FFN_GEMM_FLOPS
 
 
+def _attn_min_kernel(x_ref, wq_ref, wo_ref, o_ref, *, num_heads):
+    """MXU-floor probe: the attention block's GEMM chain with MINIMAL VPU
+    (no LN/quant/softmax/dequant — x truncate-cast to int8, int32 results
+    truncate-cast onward). Wrong numerics; measures what the dependent GEMM
+    chain alone can sustain in this exact grid/block structure."""
+    Tk = x_ref.shape[0]
+    Cc = o_ref.shape[1]
+    Dh = Cc // num_heads
+    x8 = x_ref[...].astype(jnp.int8)
+    qkv = jax.lax.dot_general(
+        x8, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.bfloat16)
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * Dh : (h + 1) * Dh]
+        k = qkv[:, Cc + h * Dh : Cc + (h + 1) * Dh]
+        v = qkv[:, 2 * Cc + h * Dh : 2 * Cc + (h + 1) * Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        heads.append(jax.lax.dot_general(
+            scores.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    attn8 = jnp.concatenate(heads, axis=1).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        attn8, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def make_attn_min():
+    rng = np.random.RandomState(0)
+    from s3prl_tpu.ops.quant import quantize_cols
+
+    wq_q, _ = quantize_cols(jnp.asarray(rng.randn(C, 3 * C).astype(np.float32)))
+    wo_q, _ = quantize_cols(jnp.asarray(rng.randn(C, C).astype(np.float32)))
+    Tp = -(-T // 128) * 128
+
+    def block(x):
+        xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        out = pl.pallas_call(
+            partial(_attn_min_kernel, num_heads=H),
+            out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(xp, wq_q, wo_q)
+        return out[:, :T]
+
+    return block, ATTN_GEMM_FLOPS + ATTN_SDPA_FLOPS
+
+
+def _ffn_min_kernel(x_ref, w1_ref, w2_ref, o_ref, *, bounds):
+    """MXU-floor probe for the FFN chain: GEMM1 -> truncate-cast int8 ->
+    GEMM2 per chunk, zero dequant/GELU/requant. Wrong numerics."""
+    x8 = x_ref[...].astype(jnp.int8)
+    C_out = o_ref.shape[1]
+    acc = jnp.zeros((x8.shape[0], C_out), jnp.int32)
+    for lo, hi in bounds:
+        g1 = jax.lax.dot_general(
+            x8, w1_ref[:, lo:hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h8 = g1.astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            h8, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def make_ffn_min():
+    rng = np.random.RandomState(0)
+    from s3prl_tpu.ops.quant import quantize_cols
+
+    w1q, _ = quantize_cols(jnp.asarray(rng.randn(C, FFN).astype(np.float32)))
+    w2q, _ = quantize_cols(jnp.asarray(rng.randn(FFN, C).astype(np.float32)))
+    rows = B * T
+    Rp = -(-rows // FBQ) * FBQ
+    bounds = tuple((s, min(s + FCHUNK, FFN)) for s in range(0, FFN, FCHUNK))
+
+    def block(x):
+        x2 = x.reshape(rows, C)
+        x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0))) if Rp != rows else x2
+        out = pl.pallas_call(
+            partial(_ffn_min_kernel, bounds=bounds),
+            out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
+            grid=(Rp // FBQ,),
+            in_specs=[
+                pl.BlockSpec((FBQ, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, FFN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((FFN, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((FBQ, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x2, w1q, w2q)
+        return out[:rows].reshape(B, T, C)
+
+    return block, FFN_GEMM_FLOPS
+
+
 VARIANTS = {
     "attn_base": make_attn_base,
     "attn_var": partial(make_attn_variant),  # sanity twin of attn_base
     "attn_h8": partial(make_attn_variant, num_heads=8),
     "attn_h4": partial(make_attn_variant, num_heads=4),
     "attn_nosm": partial(make_attn_variant, softmax=False),
+    "attn_v16": partial(make_attn_variant, vpu_bf16=True),
     "attn_f32": partial(make_attn_variant, attn_f32=True),
+    "attn_min": make_attn_min,
+    "ffn_min": make_ffn_min,
     "ffn_base": make_ffn_base,
     "ffn_pipe": partial(make_ffn_variant, pipe=True),
     "ffn_seq": partial(make_ffn_variant, pipe=False),
+    "ffn_v16": partial(make_ffn_variant, pipe=False, vpu_bf16=True),
+    "ffn_v16_pipe": partial(make_ffn_variant, pipe=True, vpu_bf16=True),
+    "ffn_pipe1024": partial(make_ffn_variant, pipe=True, chunk=1024),
+    "ffn_pipe512": partial(make_ffn_variant, pipe=True, chunk=512),
+    "ffn_v16_pipe1024": partial(make_ffn_variant, pipe=True, chunk=1024,
+                                vpu_bf16=True),
     "ffn_relu": partial(make_ffn_variant, gelu_mode="relu"),
     "ffn_seq_erf": partial(make_ffn_variant, pipe=False, gelu_mode="erf"),
 }
@@ -326,10 +480,16 @@ def main():
 
             return run
 
-        for it in (IT_LO, IT_HI):
-            fn = make(it)
-            _fetch(fn(x0))  # compile + warm
-            fns[(name, it)] = fn
+        try:
+            for it in (IT_LO, IT_HI):
+                fn = make(it)
+                _fetch(fn(x0))  # compile + warm
+                fns[(name, it)] = fn
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(json.dumps({"variant": name, "error": str(e)[:200]}),
+                  flush=True)
+            fns.pop((name, IT_LO), None)
+            names = [n for n in names if n != name]
 
     times = {k: float("inf") for k in fns}
     for _ in range(REPS):
