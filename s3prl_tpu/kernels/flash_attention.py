@@ -498,11 +498,19 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
     xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
     s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
     x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
-    qkv = jax.lax.dot_general(
-        x8, wq_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    qkv = (qkv * s_x * wqs_ref[0, :] + bq_ref[0, :]).astype(jnp.bfloat16)
+    # dequant directly in bf16 (round-5 on-chip A/B: 0.827 vs 0.880
+    # ms/layer interleaved) — the f32 intermediate + cast disappear; the
+    # consumer (per-head attention math) is bf16 anyway. int32 accums carry
+    # ~0.4% bf16 rounding, the same order as the int8 requant step; quality
+    # pinned by the 24L HuBERT-Large cosine gate (tests/test_quant.py).
+    qkv = (
+        jax.lax.dot_general(
+            x8, wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.bfloat16)
+        * (s_x * wqs_ref[0, :]).astype(jnp.bfloat16)
+        + bq_ref[0, :].astype(jnp.bfloat16)
+    )
     kv_len = kvlen_ref[pl.program_id(0), 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
@@ -520,15 +528,20 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
         heads.append(jax.lax.dot_general(
             (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
-    attn = jnp.concatenate(heads, axis=1)  # [T, C] f32
-    s_a = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
-    a8 = jnp.clip(jnp.round(attn / s_a), -127, 127).astype(jnp.int8)
+        ).astype(jnp.bfloat16))
+    attn = jnp.concatenate(heads, axis=1)  # [T, C] bf16
+    s_a = (
+        jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True),
+                    jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0)
+    )
+    # Mosaic has no bf16 roundeven; the round itself upcasts
+    a8 = jnp.clip(jnp.round((attn / s_a).astype(jnp.float32)),
+                  -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         a8, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    y = y * s_a * wos_ref[0, :] + bo_ref[0, :] + x_in
+    y = y * s_a.astype(jnp.float32) * wos_ref[0, :] + bo_ref[0, :] + x_in
     o_ref[...] = y.astype(o_ref.dtype)
 
 
