@@ -55,6 +55,17 @@ def _gelu(y, mode: str = None):
     if mode == "tanh":
         c = math.sqrt(2.0 / math.pi)
         return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    if mode == "tanh2":
+        # ALGEBRAICALLY the same tanh-approximate GELU, with tanh rewritten
+        # through one exp2 (tanh(u) = 2*sigmoid(2u) - 1 =>
+        # gelu = y * sigmoid(2c(y + 0.044715 y^3)) = y / (1 + exp2(-k*u))):
+        # Mosaic lowers jnp.tanh through a guarded range-reduced polynomial;
+        # this form is one exp2 + one reciprocal on the VPU. exp2 under- and
+        # overflow saturate to 0/inf, so the division saturates to y/1 and
+        # y/inf=0 — exactly tanh's asymptotes; no extra clamping needed.
+        c2 = 2.0 * math.sqrt(2.0 / math.pi) * math.log2(math.e)
+        u = y + 0.044715 * y * y * y
+        return y / (1.0 + jnp.exp2(-c2 * u))
     if mode == "sigmoid":  # x*sigmoid(1.702x): one exp (max err ~1e-2)
         return y * jax.nn.sigmoid(1.702 * y)
     if mode == "relu":  # NOT gelu — VPU-cost measurement probe only

@@ -473,8 +473,8 @@ def gated_bias_attention_outproj(qkv, residual, pos_bias, gate, wo, bo,
 
 
 def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
-                       wos_ref, bo_ref, kvlen_ref, o_ref, *, num_heads: int,
-                       scale: float):
+                       wos_ref, bo_ref, kvlen_ref, inv_ref, o_ref, *,
+                       num_heads: int, scale: float, static_q: bool):
     """THE WHOLE pre-LN attention block in one cell (grid = (B,)):
 
         LN -> row-quant -> int8 QKV GEMM -> per-head attention ->
@@ -486,18 +486,32 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
     serving protocol, tools/bench_layer.py attn_only) all disappear —
     traffic drops from ~450 MB to ~70 MB per layer. Whole-T cells (T <= 512)
     so K/V are computed once; longer sequences use the split path.
+
+    static_q: per-layer STATIC activation scales (calibrated once at qcache
+    materialization, ops/quant) instead of dynamic per-row scales — the two
+    per-row abs-max reduce + divide passes vanish. Isolated-kernel probe:
+    0.891 vs 0.949 ms/layer (incl. the bf16 epilogue below) — but at the
+    24L encoder level with real serving artifacts the delta is a measured
+    WASH (tools/exp_static_act_ab.py, 52.861 vs 52.842 ms interleaved), so
+    serving defaults to dynamic; S3PRL_STATIC_ACT=1 opts in. The dequant
+    scale products are pre-folded into wqs/wos by the caller; inv_ref [1,2]
+    SMEM carries (1/s_x, 1/s_a).
     """
     T = x_ref.shape[0]
     C = o_ref.shape[1]
     Dh = C // num_heads
-    x_in = x_ref[...].astype(jnp.float32)  # [T, C]
     ln_g = ln_ref[0, :]
     ln_b = ln_ref[1, :]
+    x_in = x_ref[...].astype(jnp.float32)  # [T, C]
     mean = jnp.mean(x_in, axis=1, keepdims=True)
     var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
     xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
-    s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
+    if static_q:
+        x8 = jnp.clip(jnp.round(xn * inv_ref[0, 0]), -127, 127).astype(jnp.int8)
+        s_x = jnp.float32(1.0)  # dequant scale folded into wqs by the caller
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
+        x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
     # dequant directly in bf16 (round-5 on-chip A/B: 0.827 vs 0.880
     # ms/layer interleaved) — the f32 intermediate + cast disappear; the
     # consumer (per-head attention math) is bf16 anyway. int32 accums carry
@@ -530,30 +544,47 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16))
     attn = jnp.concatenate(heads, axis=1)  # [T, C] bf16
-    s_a = (
-        jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True),
-                    jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0)
-    )
-    # Mosaic has no bf16 roundeven; the round itself upcasts
-    a8 = jnp.clip(jnp.round((attn / s_a).astype(jnp.float32)),
-                  -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        a8, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    y = y * s_a.astype(jnp.float32) * wos_ref[0, :] + bo_ref[0, :] + x_in
-    o_ref[...] = y.astype(o_ref.dtype)
+    if static_q:
+        # Mosaic has no bf16 roundeven; the round itself upcasts
+        a8 = jnp.clip(jnp.round((attn * inv_ref[0, 1].astype(jnp.bfloat16))
+                                .astype(jnp.float32)),
+                      -127, 127).astype(jnp.int8)
+        # bf16 epilogue (round-5 A/B: −0.02 ms/layer): dequant + bias +
+        # residual against the raw bf16 x — o_ref is bf16 anyway, and the
+        # dequant scale is pre-folded into wos
+        y = (jax.lax.dot_general(
+            a8, wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.bfloat16)
+            * wos_ref[0, :].astype(jnp.bfloat16)
+            + bo_ref[0, :].astype(jnp.bfloat16) + x_ref[...])
+        o_ref[...] = y.astype(o_ref.dtype)
+    else:
+        s_a = (
+            jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True),
+                        jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0)
+        )
+        # Mosaic has no bf16 roundeven; the round itself upcasts
+        a8 = jnp.clip(jnp.round((attn / s_a).astype(jnp.float32)),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            a8, wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        y = y * s_a.astype(jnp.float32) * wos_ref[0, :] + bo_ref[0, :] + x_in
+        o_ref[...] = y.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@partial(jax.jit, static_argnames=("num_heads", "static_q", "interpret"))
 def _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
-                     num_heads, interpret=False):
+                     inv_scales, num_heads, static_q=False, interpret=False):
     B, T, C = x.shape
     Dh = C // num_heads
     Tp = -(-T // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
     out = pl.pallas_call(
-        partial(_attn_block_kernel, num_heads=num_heads, scale=Dh ** -0.5),
+        partial(_attn_block_kernel, num_heads=num_heads, scale=Dh ** -0.5,
+                static_q=static_q),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
         grid=(B,),
         in_specs=[
@@ -567,13 +598,15 @@ def _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_scales [1, 2]
         ],
         out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, wq_q, bq.reshape(1, 3 * C).astype(jnp.float32), wq_s.reshape(1, 3 * C),
       ln2, wo_q, wo_s.reshape(1, C), bo.reshape(1, C).astype(jnp.float32),
-      kv_lens.reshape(B, 1).astype(jnp.int32))
+      kv_lens.reshape(B, 1).astype(jnp.int32),
+      inv_scales.reshape(1, 2).astype(jnp.float32))
     return out[:, :T]
 
 
@@ -581,12 +614,18 @@ MAX_BLOCK_T = 512  # whole-T attention-block cells; beyond -> split path
 
 
 def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
-                          interpret: bool = False):
+                          act_scales=None, interpret: bool = False):
     """residual + out_proj(MHA(qkv_proj(LN(x)))) — the full pre-LN attention
-    block in one Pallas kernel (int8 W8A8 projections, dynamic per-row
-    activation scales). `ln` = (scale[C], bias[C]); wq [C, 3C], wo [C, C] in
-    checkpoint dtype. Sequences beyond MAX_BLOCK_T fall back to the
-    LN -> int8 qkv -> fused attention+out-proj split path.
+    block in one Pallas kernel (int8 W8A8 projections). `ln` =
+    (scale[C], bias[C]); wq [C, 3C], wo [C, C] in checkpoint dtype.
+    Sequences beyond MAX_BLOCK_T fall back to the LN -> int8 qkv -> fused
+    attention+out-proj split path.
+
+    act_scales: optional [2] array (s_x, s_a) of per-layer STATIC activation
+    scales (calibrated at qcache materialization) — replaces the dynamic
+    per-row scales; the dequant products fold into the weight scales here
+    (one [3C]+[C] elementwise multiply, fused by XLA into the surrounding
+    graph) so the kernel's epilogues carry no per-row scale vectors.
     """
     from ..ops.quant import as_quantized_cols
 
@@ -594,9 +633,17 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
     ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
     wq_q, wq_s = as_quantized_cols(wq)
     wo_q, wo_s = as_quantized_cols(wo)
+    if act_scales is not None:
+        wq_s = wq_s * act_scales[0]
+        wo_s = wo_s * act_scales[1]
+        inv_scales = 1.0 / act_scales
+    else:
+        inv_scales = jnp.ones((2,), jnp.float32)
     interpret = interpret or jax.default_backend() == "cpu"
     return _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
-                            num_heads, interpret=interpret)
+                            inv_scales, num_heads,
+                            static_q=act_scales is not None,
+                            interpret=interpret)
 
 
 def _online_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, m_ref, l_ref,

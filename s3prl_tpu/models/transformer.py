@@ -215,6 +215,25 @@ def _attn_block_enabled() -> bool:
     return os.environ.get("S3PRL_ATTN_BLOCK", "1") == "1"
 
 
+def _static_act_enabled() -> bool:
+    """Opt-in (S3PRL_STATIC_ACT=1): per-layer STATIC activation scales
+    (calibrated once at qcache materialization) inside the whole-block
+    attention kernel, replacing the dynamic per-row scales. The isolated
+    kernel probe wins 0.891 vs 0.949 ms/layer (the two abs-max reduce +
+    divide passes vanish; tools/exp_encoder_tiles.py attn_static), but at
+    the 24L ENCODER level with the real serving artifacts the delta is a
+    measured WASH (52.861 vs 52.842 ms/iter interleaved,
+    tools/exp_static_act_ab.py) and end-to-end bench pairs read neutral—
+    slightly negative — the dynamic VPU passes apparently overlap with the
+    kernel's DMA/MXU pipeline at production shapes. Default stays dynamic
+    (finer quant granularity, no calibration-transfer assumption); quality
+    of the static path is pinned by tests/test_quant.py
+    (test_qcache_static_activation_scales + the 24L serving-path gate)."""
+    import os
+
+    return os.environ.get("S3PRL_STATIC_ACT", "0") == "1"
+
+
 def _qkv_fuse_enabled() -> bool:
     """Opt-in (S3PRL_QKV_FUSE=1): Pallas LN+quant+QKV+dequant single pass in
     place of the XLA LayerNorm + QuantDense pair. MEASURED SLOWER on the
@@ -280,6 +299,49 @@ class EncoderLayer(nn.Module):
         from ..ops.quant import cached_quantize_cols
 
         return cached_quantize_cols(self, name, w)
+
+    def _attn_act_scales(self, x, kq, bq, g_ln, b_ln):
+        """Per-layer static activation scales (s_x for the LN output feeding
+        the QKV GEMM, s_a for the pre-out-proj attention context) for the
+        whole-block attention kernel, calibrated ONCE during the qcache
+        materialization probe (upstream/registry._materialize_qcache) by
+        running the block's float math in XLA and taking abs-max * margin.
+
+        The margin (1.35) covers the probe-vs-serving extreme-value gap
+        (abs-max over ~50k probe activations vs ~16M serving activations
+        grows ~sqrt(ln n): ~1.24x for Gaussian-ish tails); anything beyond
+        saturates the int8 clip, which only truncates the single largest
+        outlier channel. Returns None when no calibration is available
+        (training, user param trees without a qcache)."""
+        name = "attn_act_scales"
+        if self.is_mutable_collection("qcache"):
+            def calib():
+                xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+                mean = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+                xn = (xf - mean) * jax.lax.rsqrt(var + self.layer_norm_eps)
+                xn = xn * g_ln + b_ln
+                qkv = xn @ kq.astype(jnp.float32) + bq.astype(jnp.float32)
+                C = self.embed_dim
+                Dh = C // self.num_heads
+                Bc, T, _ = qkv.shape
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q = q.reshape(Bc, T, self.num_heads, Dh)
+                k = k.reshape(Bc, T, self.num_heads, Dh)
+                v = v.reshape(Bc, T, self.num_heads, Dh)
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * Dh ** -0.5
+                p = jax.nn.softmax(scores, axis=-1)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(Bc, T, C)
+                margin = 1.35
+                sx = jnp.max(jnp.abs(xn)) * margin / 127.0
+                sa = jnp.max(jnp.abs(ctx)) * margin / 127.0
+                return jnp.stack([jnp.maximum(sx, 1e-8),
+                                  jnp.maximum(sa, 1e-8)]).astype(jnp.float32)
+
+            return self.variable("qcache", name, calib).value
+        if self.has_variable("qcache", name):
+            return self.get_variable("qcache", name)
+        return None
 
     def _fused_block(self, x, key_padding_mask):
         # helper called from the compact __call__ — declares the same
@@ -388,10 +450,14 @@ class EncoderLayer(nn.Module):
                         if key_padding_mask is not None
                         else jnp.full((B,), T, jnp.int32)
                     )
+                    act_scales = (
+                        self._attn_act_scales(x, kq, bq, g_ln, b_ln)
+                        if _static_act_enabled() else None
+                    )
                     x = fused_attention_block(
                         x, self._qw("qkv_q8", kq), bq, (g_ln, b_ln),
                         self._qw("out_proj_q8", ko), bo, kv_lens,
-                        self.num_heads)
+                        self.num_heads, act_scales=act_scales)
                 else:
                     if _qkv_fuse_enabled():
                         # LN + quantize + QKV GEMM + dequant in one Pallas

@@ -123,8 +123,16 @@ def _materialize_qcache(model, variables, probe_len: int = 16000):
     int8 weights + scales, and every subsequent apply reads them back
     (ops/quant.cached_quantize_cols). No-op for models with no quantized
     serving branch.
+
+    The probe waveform is deterministic unit-variance noise, NOT zeros: the
+    same probe also calibrates the per-layer STATIC activation scales
+    (EncoderLayer._attn_act_scales) — LN-output and attention-context
+    abs-max are weight-driven (LN re-normalizes whatever comes in), so a
+    noise probe transfers to real speech; a zero probe would collapse every
+    row to the LN bias and calibrate garbage.
     """
-    probe = jnp.zeros((1, probe_len), jnp.float32)
+    probe = jax.random.normal(
+        jax.random.key(0), (1, probe_len), jnp.float32)
 
     @jax.jit
     def build(v):

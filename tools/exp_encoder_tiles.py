@@ -66,7 +66,8 @@ def _fetch(x):
 
 def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
                      bo_ref, kvlen_ref, o_ref, *, num_heads, scale, softmax,
-                     attn_f32, vpu_bf16=False):
+                     attn_f32, vpu_bf16=False, out_bf16=False,
+                     static_scales=None):
     Tk = x_ref.shape[0]
     Cc = o_ref.shape[1]
     Dh = Cc // num_heads
@@ -74,8 +75,16 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
     mean = jnp.mean(x_in, axis=1, keepdims=True)
     var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
     xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_ref[0, :] + ln_ref[1, :]
-    s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
+    if static_scales is not None:
+        # static (calibrated) activation scales: the per-row max-abs reduce
+        # and the divide vanish; the dequant scale folds into wqs/wos
+        # OUTSIDE the kernel (the caller pre-multiplies). Probe numerics.
+        sx_c, sa_c = static_scales
+        x8 = jnp.clip(jnp.round(xn * (1.0 / sx_c)), -127, 127).astype(jnp.int8)
+        s_x = jnp.float32(1.0)  # folded into wqs_ref by the caller
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-8) / 127.0
+        x8 = jnp.clip(jnp.round(xn / s_x), -127, 127).astype(jnp.int8)
     qkv_raw = jax.lax.dot_general(
         x8, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -113,7 +122,13 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16 if vpu_bf16 else jnp.float32))
     attn = jnp.concatenate(heads, axis=1)
-    if vpu_bf16:
+    if static_scales is not None:
+        sa_inv = (jnp.bfloat16(1.0 / sa_c) if vpu_bf16
+                  else jnp.float32(1.0 / sa_c))
+        a8 = jnp.clip(jnp.round((attn * sa_inv).astype(jnp.float32)),
+                      -127, 127).astype(jnp.int8)
+        s_a = jnp.float32(1.0)  # folded into wos_ref by the caller
+    elif vpu_bf16:
         s_a = (jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True),
                            jnp.bfloat16(1e-6)) / jnp.bfloat16(127.0))
         a8 = jnp.clip(jnp.round((attn / s_a).astype(jnp.float32)),
@@ -122,16 +137,25 @@ def _attn_kernel_var(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref, wos_ref,
     else:
         s_a = jnp.maximum(jnp.max(jnp.abs(attn), axis=1, keepdims=True), 1e-8) / 127.0
         a8 = jnp.clip(jnp.round(attn / s_a), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
+    y_raw = jax.lax.dot_general(
         a8, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    y = y * s_a * wos_ref[0, :] + bo_ref[0, :] + x_in
-    o_ref[...] = y.astype(o_ref.dtype)
+    )
+    if out_bf16:
+        # epilogue fully in bf16: dequant + bias + residual with the raw
+        # bf16 x (no f32 x_in reuse) — o_ref is bf16 anyway
+        y = (y_raw.astype(jnp.bfloat16)
+             * (s_a * wos_ref[0, :]).astype(jnp.bfloat16)
+             + bo_ref[0, :].astype(jnp.bfloat16) + x_ref[...])
+        o_ref[...] = y
+    else:
+        y = (y_raw.astype(jnp.float32) * s_a * wos_ref[0, :]
+             + bo_ref[0, :] + x_in)
+        o_ref[...] = y.astype(o_ref.dtype)
 
 
 def make_attn_variant(num_heads=H, softmax=True, attn_f32=False,
-                      vpu_bf16=False):
+                      vpu_bf16=False, out_bf16=False, static=False):
     rng = np.random.RandomState(0)
     wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.02)
     wo = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.02)
@@ -143,6 +167,14 @@ def make_attn_variant(num_heads=H, softmax=True, attn_f32=False,
 
     wq_q, wq_s = quantize_cols(wq)
     wo_q, wo_s = quantize_cols(wo)
+    static_scales = None
+    if static:
+        # representative calibrated scales for the probe's N(0,1)-ish LN
+        # output / attention output; dequant scales pre-folded here
+        sx_c, sa_c = 3.5 / 127.0, 2.5 / 127.0
+        static_scales = (sx_c, sa_c)
+        wq_s = wq_s * sx_c
+        wo_s = wo_s * sa_c
     Dh = C // num_heads
     Tp = -(-T // 128) * 128
     kv_lens = jnp.full((B, 1), T, jnp.int32)
@@ -151,7 +183,8 @@ def make_attn_variant(num_heads=H, softmax=True, attn_f32=False,
         xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
         out = pl.pallas_call(
             partial(_attn_kernel_var, num_heads=num_heads, scale=Dh ** -0.5,
-                    softmax=softmax, attn_f32=attn_f32, vpu_bf16=vpu_bf16),
+                    softmax=softmax, attn_f32=attn_f32, vpu_bf16=vpu_bf16,
+                    out_bf16=out_bf16, static_scales=static_scales),
             out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
             grid=(B,),
             in_specs=[
@@ -206,7 +239,7 @@ FBQ = int(os.environ.get("S3PRL_BQF", "512"))
 
 def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
                      ln_ref, o_ref, *, bounds, gelu_mode, pipe=True,
-                     vpu_bf16=False):
+                     vpu_bf16=False, static_scales=None):
     """Software-pipelined chunk loop: GEMM1(c+1) is issued before the VPU
     epilogue of chunk c, giving Mosaic an independent MXU op to overlap
     with the dequant/GELU/requant VPU chain. pipe=False keeps the serving
@@ -215,7 +248,12 @@ def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
     mean = jnp.mean(x_in, axis=1, keepdims=True)
     var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
     x = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_ref[0, :] + ln_ref[1, :]
-    x8, xs = _quant_rows8(x)
+    if static_scales is not None:
+        sx_c, sh_c = static_scales
+        x8 = jnp.clip(jnp.round(x * (1.0 / sx_c)), -127, 127).astype(jnp.int8)
+        xs = jnp.float32(1.0)  # folded into w1s_ref by the caller
+    else:
+        x8, xs = _quant_rows8(x)
     C_out = o_ref.shape[1]
     acc = jnp.zeros((x.shape[0], C_out), jnp.float32)
 
@@ -233,7 +271,14 @@ def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
                 h_next = gemm1(*bounds[ci + 1])  # MXU, indep of the VPU below
         else:
             h_raw = gemm1(lo, hi)
-        if vpu_bf16:
+        if static_scales is not None:
+            h = (h_raw.astype(jnp.float32) * w1s_ref[0, lo:hi]
+                 + b1_ref[0, lo:hi])
+            h = _gelu(h, gelu_mode)
+            h8 = jnp.clip(jnp.round(h * (1.0 / sh_c)),
+                          -127, 127).astype(jnp.int8)
+            hs = jnp.float32(1.0)  # folded into w2s_ref by the caller
+        elif vpu_bf16:
             # the whole dequant/GELU/requant chain in bf16: int32 accums up
             # to ~1.6e7 carry 0.4% bf16 rounding, same order as the int8
             # requant step itself (perf probe; quality-gate before adoption)
@@ -258,7 +303,8 @@ def _ffn_kernel_pipe(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
     o_ref[:, :] = (acc + b2_ref[0, :] + x_in).astype(o_ref.dtype)
 
 
-def make_ffn_variant(pipe=True, gelu_mode="tanh", chunk=None, vpu_bf16=False):
+def make_ffn_variant(pipe=True, gelu_mode="tanh", chunk=None, vpu_bf16=False,
+                     static=False):
     rng = np.random.RandomState(0)
     w1 = jnp.asarray(rng.randn(C, FFN).astype(np.float32) * 0.02)
     w2 = jnp.asarray(rng.randn(FFN, C).astype(np.float32) * 0.02)
@@ -270,6 +316,12 @@ def make_ffn_variant(pipe=True, gelu_mode="tanh", chunk=None, vpu_bf16=False):
 
     w1q, w1s = quantize_cols(w1)
     w2q, w2s = quantize_cols(w2)
+    static_scales = None
+    if static:
+        sx_c, sh_c = 3.5 / 127.0, 2.5 / 127.0
+        static_scales = (sx_c, sh_c)
+        w1s = w1s * sx_c
+        w2s = w2s * sh_c
     rows = B * T
     Rp = -(-rows // FBQ) * FBQ
     ch = chunk or FCHUNK
@@ -282,7 +334,8 @@ def make_ffn_variant(pipe=True, gelu_mode="tanh", chunk=None, vpu_bf16=False):
         x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0))) if Rp != rows else x2
         out = pl.pallas_call(
             partial(_ffn_kernel_pipe, bounds=bounds, gelu_mode=gelu_mode,
-                    pipe=pipe, vpu_bf16=vpu_bf16),
+                    pipe=pipe, vpu_bf16=vpu_bf16,
+                    static_scales=static_scales),
             out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
             grid=(Rp // FBQ,),
             in_specs=[
@@ -439,6 +492,9 @@ VARIANTS = {
     "attn_h4": partial(make_attn_variant, num_heads=4),
     "attn_nosm": partial(make_attn_variant, softmax=False),
     "attn_v16": partial(make_attn_variant, vpu_bf16=True),
+    "attn_v16o": partial(make_attn_variant, vpu_bf16=True, out_bf16=True),
+    "attn_static": partial(make_attn_variant, vpu_bf16=True, out_bf16=True,
+                           static=True),
     "attn_f32": partial(make_attn_variant, attn_f32=True),
     "attn_min": make_attn_min,
     "ffn_min": make_ffn_min,
@@ -451,6 +507,9 @@ VARIANTS = {
     "ffn_pipe512": partial(make_ffn_variant, pipe=True, chunk=512),
     "ffn_v16_pipe1024": partial(make_ffn_variant, pipe=True, chunk=1024,
                                 vpu_bf16=True),
+    "ffn_static": partial(make_ffn_variant, pipe=False, static=True),
+    "ffn_static_pipe": partial(make_ffn_variant, pipe=True, static=True),
+    "ffn_gelu2": partial(make_ffn_variant, pipe=False, gelu_mode="tanh2"),
     "ffn_relu": partial(make_ffn_variant, gelu_mode="relu"),
     "ffn_seq_erf": partial(make_ffn_variant, pipe=False, gelu_mode="erf"),
 }
