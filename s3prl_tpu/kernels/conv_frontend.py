@@ -59,10 +59,14 @@ def _gelu(y, mode: str = None):
         # ALGEBRAICALLY the same tanh-approximate GELU, with tanh rewritten
         # through one exp2 (tanh(u) = 2*sigmoid(2u) - 1 =>
         # gelu = y * sigmoid(2c(y + 0.044715 y^3)) = y / (1 + exp2(-k*u))):
-        # Mosaic lowers jnp.tanh through a guarded range-reduced polynomial;
-        # this form is one exp2 + one reciprocal on the VPU. exp2 under- and
-        # overflow saturate to 0/inf, so the division saturates to y/1 and
-        # y/inf=0 — exactly tanh's asymptotes; no extra clamping needed.
+        # one exp2 + one reciprocal on the VPU. exp2 under- and overflow
+        # saturate to 0/inf, so the division saturates to y/1 and y/inf=0 —
+        # exactly tanh's asymptotes; no extra clamping needed. MEASURED
+        # SLOWER than Mosaic's tanh lowering on the FFN kernel (1.036 vs
+        # 1.010 ms/layer interleaved, round-5; the divide costs more than
+        # the range-reduced tanh polynomial) — kept as a probe mode. The
+        # GELU-vs-relu gap on the same run is 0.064 ms/layer, so tanh is
+        # already near the activation's VPU floor.
         c2 = 2.0 * math.sqrt(2.0 / math.pi) * math.log2(math.e)
         u = y + 0.044715 * y * y * y
         return y / (1.0 + jnp.exp2(-c2 * u))
