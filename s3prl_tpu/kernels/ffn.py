@@ -229,3 +229,110 @@ def fused_int8_linear(x, w, b, ln=None, residual=None, interpret: bool = False):
     )
     interpret = interpret or jax.default_backend() == "cpu"
     return _linear_call(x, residual, wq, b, ws, ln2, interpret=interpret)
+
+
+# ------------------------------------------------------------------ bf16 FFN
+
+BF16_CHUNK = int(__import__("os").environ.get("S3PRL_FCHUNK16", "1024"))
+
+
+def _ffn_bf16_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
+                     acc_ref, *, n_chunks, ln, residual, gelu_mode):
+    """bf16 twin of _ffn_kernel with the weights STREAMED: at C=1024/FFN=4096
+    the bf16 fc1+fc2 pair is 16 MB — beyond VMEM residency — so the FFN dim
+    rides the minor grid axis and Mosaic double-buffers [C, CH]/[CH, C]
+    weight panels while the MXU works. The [rows, FFN] intermediate still
+    never leaves VMEM (one [rows, CH] slab at a time); acc_ref carries the
+    f32 partial sum across chunk iterations of the same row block."""
+    ci = pl.program_id(1)
+    x_in = x_ref[:, :].astype(jnp.float32)
+    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
+    h = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _gelu(h + b1_ref[0, :], gelu_mode)
+    y = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += y
+
+    @pl.when(ci == n_chunks - 1)
+    def _flush():
+        out = acc_ref[...] + b2_ref[0, :]
+        if residual:
+            out = out + x_in
+        o_ref[:, :] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("residual", "gelu_mode", "interpret"))
+def _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual, gelu_mode="erf",
+                   interpret=False):
+    B, T, C = x.shape
+    FFN = w1.shape[1]
+    rows = B * T
+    Rp = -(-rows // BQ) * BQ
+    x2 = x.reshape(rows, C)
+    if Rp != rows:
+        x2 = jnp.pad(x2, ((0, Rp - rows), (0, 0)))
+    # largest lane-aligned panel width <= BF16_CHUNK that divides FFN
+    # (grid-mapped weight panels must tile the FFN dim exactly)
+    assert FFN % 128 == 0, FFN
+    CH = min(BF16_CHUNK, FFN)
+    while FFN % CH:
+        CH -= 128
+    n_chunks = FFN // CH
+    ln = ln2 is not None
+    if not ln:
+        ln2 = jnp.zeros((2, C), jnp.float32)
+    out = pl.pallas_call(
+        partial(_ffn_bf16_kernel, n_chunks=n_chunks, ln=ln,
+                residual=residual, gelu_mode=gelu_mode),
+        out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
+        grid=(Rp // BQ, n_chunks),
+        in_specs=[
+            pl.BlockSpec((BQ, C), lambda i, ci: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CH), lambda i, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH), lambda i, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, C), lambda i, ci: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BQ, C), lambda i, ci: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BQ, C), jnp.float32)],
+        interpret=interpret,
+    )(
+        x2, w1.astype(jnp.bfloat16), b1.reshape(1, FFN).astype(jnp.float32),
+        w2.astype(jnp.bfloat16), b2.reshape(1, C).astype(jnp.float32), ln2,
+    )
+    return out[:rows].reshape(B, T, C)
+
+
+def fused_bf16_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
+                   interpret: bool = False):
+    """x [B, T, C] -> [x +] fc2(gelu(fc1([LN](x)))) in bf16 — the
+    reference-precision serving twin of fused_int8_ffn. Exact erf GELU
+    (A&S poly, max err 1.5e-7 — the bf16 path keeps reference precision);
+    f32 accumulation throughout; the [rows, FFN] intermediate never
+    round-trips HBM (the XLA lowering materializes it: ~134 MB/layer at
+    the serving protocol)."""
+    ln2 = (
+        jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
+        if ln is not None else None
+    )
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual=residual,
+                          interpret=interpret)

@@ -646,6 +646,105 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
                             interpret=interpret)
 
 
+def _attn_block_bf16_kernel(x_ref, wq_ref, bq_ref, ln_ref, wo_ref, bo_ref,
+                            kvlen_ref, o_ref, *, num_heads: int,
+                            scale: float):
+    """bf16 twin of _attn_block_kernel: the whole pre-LN attention block
+    (LN -> bf16 QKV GEMM -> per-head attention -> bf16 out-proj ->
+    +residual) in one cell, grid = (B,). Same traffic argument as the int8
+    kernel: the qkv tensor, the attention output, and the LN output never
+    round-trip HBM. LN statistics in f32 (matches nn.LayerNorm exactly);
+    GEMMs bf16 with f32 accumulation — the same precision contract as the
+    XLA path it replaces (reference bf16 serving)."""
+    T = x_ref.shape[0]
+    C = o_ref.shape[1]
+    Dh = C // num_heads
+    x_in = x_ref[...].astype(jnp.float32)  # [T, C]
+    ln_g = ln_ref[0, :]
+    ln_b = ln_ref[1, :]
+    mean = jnp.mean(x_in, axis=1, keepdims=True)
+    var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
+    xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
+    qkv = (
+        jax.lax.dot_general(
+            xn.astype(jnp.bfloat16), wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bq_ref[0, :]
+    ).astype(jnp.bfloat16)
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * Dh : (h + 1) * Dh]
+        k = qkv[:, C + h * Dh : C + (h + 1) * Dh]
+        v = qkv[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + penalty
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = _exp_fast(scores - m)
+        recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16))
+    attn = jnp.concatenate(heads, axis=1)  # [T, C] bf16
+    y = (
+        jax.lax.dot_general(
+            attn, wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[0, :] + x_in
+    )
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attn_block_bf16_call(x, wq, bq, ln2, wo, bo, kv_lens, num_heads,
+                          interpret=False):
+    B, T, C = x.shape
+    Dh = C // num_heads
+    Tp = -(-T // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
+    out = pl.pallas_call(
+        partial(_attn_block_bf16_kernel, num_heads=num_heads,
+                scale=Dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
+        ],
+        out_specs=pl.BlockSpec((None, Tp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, wq.astype(jnp.bfloat16),
+      bq.reshape(1, 3 * C).astype(jnp.float32), ln2,
+      wo.astype(jnp.bfloat16), bo.reshape(1, C).astype(jnp.float32),
+      kv_lens.reshape(B, 1).astype(jnp.int32))
+    return out[:, :T]
+
+
+def fused_attention_block_bf16(x, wq, bq, ln, wo, bo, kv_lens,
+                               num_heads: int, interpret: bool = False):
+    """residual + out_proj(MHA(qkv_proj(LN(x)))) in one Pallas kernel with
+    bf16 weights — the reference-precision (quantize=False) serving twin of
+    fused_attention_block. `ln` = (scale[C], bias[C]); wq [C, 3C], wo [C, C]
+    in checkpoint dtype (cast to bf16 here, resident in VMEM: 6+2 MB at
+    C=1024). Sequences beyond MAX_BLOCK_T fall back to the caller's split
+    path (XLA LN/QKV + fused_qkv_attention + XLA out-proj)."""
+    ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _attn_block_bf16_call(x, wq, bq, ln2, wo, bo, kv_lens, num_heads,
+                                 interpret=interpret)
+
+
 def _online_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, m_ref, l_ref,
                    acc_ref, *, nk: int, bk: int):
     """K-blocked online-softmax cell: grid (B, H, nQ, nK), the K dimension

@@ -234,6 +234,15 @@ def _static_act_enabled() -> bool:
     return os.environ.get("S3PRL_STATIC_ACT", "0") == "1"
 
 
+def _bf16_block_enabled() -> bool:
+    """S3PRL_BF16_BLOCK=0 disables the bf16 whole-block attention kernel on
+    the reference-precision (quantize=False) serving path and falls back to
+    the XLA LN/QKV + fused_qkv_attention + XLA out-proj split."""
+    import os
+
+    return os.environ.get("S3PRL_BF16_BLOCK", "1") == "1"
+
+
 def _qkv_fuse_enabled() -> bool:
     """Opt-in (S3PRL_QKV_FUSE=1): Pallas LN+quant+QKV+dequant single pass in
     place of the XLA LayerNorm + QuantDense pair. MEASURED SLOWER on the
@@ -482,7 +491,39 @@ class EncoderLayer(nn.Module):
                         qkv, x, self._qw("out_proj_q8", ko), bo, kv_lens,
                         self.num_heads)
             else:
-                x = x + drop(attn(ln_attn(x).astype(self.dtype)))
+                from ..kernels.flash_attention import MAX_BLOCK_T
+
+                bf16_block = (
+                    deterministic and not self.quantize
+                    and self.dtype == jnp.bfloat16 and self.use_flash
+                    and attn_bias is None and self.layer_norm_eps == 1e-5
+                    and _fused_block_available() and _attn_block_enabled()
+                    and _bf16_block_enabled() and x.shape[1] <= MAX_BLOCK_T
+                )
+                if bf16_block:
+                    # reference-precision serving: the whole pre-LN
+                    # attention block in one kernel (bf16 twin of the int8
+                    # whole-block path; same param tree as the modules)
+                    from ..kernels.flash_attention import (
+                        fused_attention_block_bf16,
+                    )
+                    from ..ops.quant import NormParams
+
+                    (kq, bq), (ko, bo) = _AttnProjParams(
+                        self.embed_dim, name="self_attn")()
+                    g_ln, b_ln = NormParams(
+                        self.embed_dim, name="self_attn_layer_norm")()
+                    B = x.shape[0]
+                    kv_lens = (
+                        (~key_padding_mask).sum(-1).astype(jnp.int32)
+                        if key_padding_mask is not None
+                        else jnp.full((B,), x.shape[1], jnp.int32)
+                    )
+                    x = fused_attention_block_bf16(
+                        x, kq, bq, (g_ln, b_ln), ko, bo, kv_lens,
+                        self.num_heads)
+                else:
+                    x = x + drop(attn(ln_attn(x).astype(self.dtype)))
             if quant_serving and self.layer_norm_eps == 1e-5:
                 # final_layer_norm + FFN + residual in one kernel pass —
                 # the LN read-modify-write and the residual add never
@@ -495,6 +536,24 @@ class EncoderLayer(nn.Module):
                 k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
                 x = fused_int8_ffn(x, self._qw("fc1_q8", k1), b1,
                                    self._qw("fc2_q8", k2), b2, ln=(g, be),
+                                   residual=True)
+            elif (
+                deterministic and not self.quantize
+                and self.dtype == jnp.bfloat16 and self.use_flash
+                and self.activation == "gelu" and self.layer_norm_eps == 1e-5
+                and self.ffn_dim % 128 == 0
+                and _fused_block_available() and _bf16_block_enabled()
+            ):
+                # reference-precision serving: LN + fc1 + erf GELU + fc2 +
+                # residual in one kernel (bf16 twin of fused_int8_ffn; the
+                # [rows, FFN] intermediate never round-trips HBM)
+                from ..kernels.ffn import fused_bf16_ffn
+                from ..ops.quant import LinearParams, NormParams
+
+                g, be = NormParams(self.embed_dim, name="final_layer_norm")()
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                x = fused_bf16_ffn(x, k1, b1, k2, b2, ln=(g, be),
                                    residual=True)
             else:
                 ln_final = nn.LayerNorm(

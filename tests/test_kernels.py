@@ -139,6 +139,131 @@ def test_fused_attention_block_matches_split_path():
         assert cos > 0.999, (i, cos)
 
 
+def test_fused_attention_block_bf16_matches_xla():
+    """fused_attention_block_bf16 (LN + bf16 QKV + MHA + bf16 out-proj +
+    residual in one kernel — the reference-precision serving twin of the
+    int8 whole-block kernel) vs plain-XLA f32 reference math, mixed
+    lengths. Tolerance is bf16 GEMM rounding."""
+    from s3prl_tpu.kernels.flash_attention import fused_attention_block_bf16
+    from s3prl_tpu.ops.masking import length_mask
+
+    B, T, C, H = 2, 77, 128, 4
+    Dh = C // H
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5, jnp.bfloat16)
+    wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.05)
+    bq = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.02)
+    wo = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.05)
+    bo = jnp.asarray(rng.randn(C).astype(np.float32) * 0.02)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    kv_lens = jnp.asarray([77, 41], jnp.int32)
+
+    out = fused_attention_block_bf16(x, wq, bq, (g, be), wo, bo, kv_lens, H,
+                                     interpret=True)
+
+    # f32 reference: LN -> QKV -> per-head softmax(QK^T/sqrt(Dh))V -> out
+    xf = np.asarray(x, np.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mean) / np.sqrt(var + 1e-5) * np.asarray(g) + np.asarray(be)
+    qkv = xn @ np.asarray(wq) + np.asarray(bq)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    scores = q @ k.transpose(0, 1, 3, 2) * Dh ** -0.5
+    pad = ~np.asarray(length_mask(kv_lens, T))
+    scores = np.where(pad[:, None, None, :], -1e9, scores)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, T, C)
+    want = ctx @ np.asarray(wo) + np.asarray(bo) + xf
+
+    got = np.asarray(out, np.float32)
+    for i, L in enumerate([77, 41]):
+        av, bv = want[i, :L].ravel(), got[i, :L].ravel()
+        cos = (av * bv).sum() / (np.linalg.norm(av) * np.linalg.norm(bv))
+        assert cos > 0.9995, (i, cos)
+
+
+def test_fused_bf16_ffn_matches_xla():
+    """fused_bf16_ffn (LN + fc1 + erf GELU + fc2 + residual, weights
+    streamed in grid-mapped panels, f32 scratch accumulator) vs plain-XLA
+    f32 reference math. Multi-chunk FFN dim so the accumulator path is
+    exercised."""
+    import jax.nn
+
+    from s3prl_tpu.kernels.ffn import fused_bf16_ffn
+
+    B, T, C, F = 2, 50, 128, 512
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(C, F).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.02)
+    w2 = jnp.asarray(rng.randn(F, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.02)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+
+    import s3prl_tpu.kernels.ffn as ffn_mod
+    orig = ffn_mod.BF16_CHUNK
+    ffn_mod.BF16_CHUNK = 128  # force a real multi-chunk accumulation (4)
+    try:
+        out = fused_bf16_ffn(x, w1, b1, w2, b2, ln=(g, be), residual=True,
+                             interpret=True)
+    finally:
+        ffn_mod.BF16_CHUNK = orig
+
+    xf = np.asarray(x, np.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mean) / np.sqrt(var + 1e-5) * np.asarray(g) + np.asarray(be)
+    h = np.asarray(jax.nn.gelu(xn @ np.asarray(w1) + np.asarray(b1),
+                               approximate=False))
+    want = h @ np.asarray(w2) + np.asarray(b2) + xf
+
+    got = np.asarray(out, np.float32)
+    av, bv = want.ravel(), got.ravel()
+    cos = (av * bv).sum() / (np.linalg.norm(av) * np.linalg.norm(bv))
+    assert cos > 0.9995, cos
+
+
+def test_bf16_block_routing_matches_split_path(monkeypatch):
+    """Model-level: the bf16 whole-block branch (S3PRL_BF16_BLOCK, the
+    quantize=False serving default on TPU) must match the split XLA path
+    through a real pre-LN trunk forward."""
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        layer_norm_first=True, dropout=0.0, attention_dropout=0.0,
+        dropout_input=0.0,
+    )
+    wavs = jnp.asarray(np.random.RandomState(5).randn(2, 6000).astype(np.float32))
+    lens = jnp.asarray([6000, 4000])
+    trunk = Wav2Vec2Trunk(cfg, quantize=False, use_flash=True,
+                          dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda key: trunk.init(key, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+
+    monkeypatch.setenv("S3PRL_BF16_BLOCK", "1")
+    hs_block, _ = trunk.apply({"params": params}, wavs, lens,
+                              deterministic=True)
+    monkeypatch.setenv("S3PRL_BF16_BLOCK", "0")
+    hs_split, _ = trunk.apply({"params": params}, wavs, lens,
+                              deterministic=True)
+    a = np.asarray(hs_block[-1], np.float32).ravel()
+    b = np.asarray(hs_split[-1], np.float32).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.999, cos
+
+
 def test_bf16_fused_conv_chain_matches_unfused(monkeypatch):
     """S3PRL_FUSED_CONV=1 routes layer_norm-mode extraction through the
     pair-interleaved fused conv+LN+GELU kernels; output matches the XLA
