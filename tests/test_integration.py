@@ -201,10 +201,10 @@ def test_se_example(tmp_path):
     assert np.isfinite(logs["si_sdr"]) and np.isfinite(logs["si_sdri"])
     # first-party STOI/PESQ ride in the same result.yaml (may be nan for
     # sub-minimum-length clips, but the keys must be reported). The PESQ
-    # key is "pesq_approx": the first-party metric is not ITU-table
-    # conformant and must not report under the ITU name (VERDICT r4 #4).
-    assert "pesq_approx" in logs and "stoi" in logs
-    assert np.isnan(logs["pesq_approx"]) or 1.0 <= logs["pesq_approx"] <= 4.644
+    # key is "pesq": metric/quality.pesq carries the P.862 reference
+    # implementation's published perceptual-model tables (quality.py).
+    assert "pesq" in logs and "stoi" in logs
+    assert np.isnan(logs["pesq"]) or 1.0 <= logs["pesq"] <= 4.644
     # stoi is a mean of correlations: barely-trained masks can score
     # slightly negative (the reference's pystoi doesn't clamp either)
     assert np.isnan(logs["stoi"]) or -1.0 <= logs["stoi"] <= 1.0

