@@ -68,9 +68,12 @@ def _ffn_chunk_bounds(ffn: int):
 
 
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
-                ln_ref, o_ref, *, bounds, ln, residual, gelu_mode="tanh"):
+                ln_ref, o_ref, *, bounds, ln, residual, gelu_mode="tanh",
+                postnorm=False):
+    """postnorm=False: [LN ->] ffn [-> +x]  (pre-LN block, LN in prologue).
+    postnorm=True:  LN(x + ffn(x))          (post-LN block, LN in epilogue)."""
     x_in = x_ref[:, :].astype(jnp.float32)
-    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
+    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln and not postnorm else x_in
     x8, xs = _quant_rows(x)
     C_out = o_ref.shape[1]
     acc = jnp.zeros((x.shape[0], C_out), jnp.float32)
@@ -91,11 +94,14 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1s_ref, w2s_ref,
     out = acc + b2_ref[0, :]
     if residual:
         out = out + x_in
+    if postnorm:
+        out = _layernorm(out, ln_ref[0, :], ln_ref[1, :])
     o_ref[:, :] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("residual", "interpret"))
-def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
+@partial(jax.jit, static_argnames=("residual", "postnorm", "interpret"))
+def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, postnorm=False,
+              interpret=False):
     B, T, C = x.shape
     FFN = w1q.shape[1]
     rows = B * T
@@ -109,7 +115,8 @@ def _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual, interpret=False):
     if not ln:
         ln2 = jnp.zeros((2, C), jnp.float32)
     out = pl.pallas_call(
-        partial(_ffn_kernel, bounds=bounds, ln=ln, residual=residual),
+        partial(_ffn_kernel, bounds=bounds, ln=ln, residual=residual,
+                postnorm=postnorm),
         out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
         grid=(Rp // BQ,),
         in_specs=[
@@ -139,7 +146,7 @@ def _quant_cols_np(w):
 
 
 def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
-                   interpret: bool = False):
+                   postnorm: bool = False, interpret: bool = False):
     """x [B, T, C] -> [x +] fc2(gelu(fc1([LN](x)))) with W8A8 quantization.
 
     w1 [C, FFN], w2 [FFN, C] in checkpoint dtype — or pre-quantized
@@ -147,8 +154,11 @@ def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
     per forward costs real VPU+HBM time; ops/quant.cached_quantize_cols).
     `ln` is an optional (scale[C], bias[C]) tuple applied to x before fc1
     (the pre-LN block's final_layer_norm); `residual=True` adds the pre-LN
-    x back to the output.
+    x back to the output. ``postnorm=True`` moves the LN to the epilogue —
+    LN(x + ffn(x)), the post-LN (HuBERT-Base family) block order.
     """
+    if postnorm:
+        assert ln is not None and residual, "postnorm is LN(x + ffn(x))"
     w1q, w1s = _quant_cols_np(w1)
     w2q, w2s = _quant_cols_np(w2)
     ln2 = (
@@ -157,7 +167,7 @@ def fused_int8_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
     )
     interpret = interpret or jax.default_backend() == "cpu"
     return _ffn_call(x, w1q, b1, w2q, b2, w1s, w2s, ln2, residual=residual,
-                     interpret=interpret)
+                     postnorm=postnorm, interpret=interpret)
 
 
 def _linear_kernel(x_ref, r_ref, wq_ref, b_ref, ws_ref, ln_ref, o_ref, *,
@@ -237,7 +247,8 @@ BF16_CHUNK = int(__import__("os").environ.get("S3PRL_FCHUNK16", "1024"))
 
 
 def _ffn_bf16_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
-                     acc_ref, *, n_chunks, ln, residual, gelu_mode):
+                     acc_ref, *, n_chunks, ln, residual, gelu_mode,
+                     postnorm=False):
     """bf16 twin of _ffn_kernel with the weights STREAMED: at C=1024/FFN=4096
     the bf16 fc1+fc2 pair is 16 MB — beyond VMEM residency — so the FFN dim
     rides the minor grid axis and Mosaic double-buffers [C, CH]/[CH, C]
@@ -246,7 +257,7 @@ def _ffn_bf16_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
     f32 partial sum across chunk iterations of the same row block."""
     ci = pl.program_id(1)
     x_in = x_ref[:, :].astype(jnp.float32)
-    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln else x_in
+    x = _layernorm(x_in, ln_ref[0, :], ln_ref[1, :]) if ln and not postnorm else x_in
     h = jax.lax.dot_general(
         x.astype(jnp.bfloat16), w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -268,12 +279,15 @@ def _ffn_bf16_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
         out = acc_ref[...] + b2_ref[0, :]
         if residual:
             out = out + x_in
+        if postnorm:
+            out = _layernorm(out, ln_ref[0, :], ln_ref[1, :])
         o_ref[:, :] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("residual", "gelu_mode", "interpret"))
+@partial(jax.jit, static_argnames=("residual", "gelu_mode", "postnorm",
+                                   "interpret"))
 def _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual, gelu_mode="erf",
-                   interpret=False):
+                   postnorm=False, interpret=False):
     B, T, C = x.shape
     FFN = w1.shape[1]
     rows = B * T
@@ -293,7 +307,7 @@ def _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual, gelu_mode="erf",
         ln2 = jnp.zeros((2, C), jnp.float32)
     out = pl.pallas_call(
         partial(_ffn_bf16_kernel, n_chunks=n_chunks, ln=ln,
-                residual=residual, gelu_mode=gelu_mode),
+                residual=residual, gelu_mode=gelu_mode, postnorm=postnorm),
         out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
         grid=(Rp // BQ, n_chunks),
         in_specs=[
@@ -322,17 +336,20 @@ def _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual, gelu_mode="erf",
 
 
 def fused_bf16_ffn(x, w1, b1, w2, b2, ln=None, residual: bool = False,
-                   interpret: bool = False):
+                   postnorm: bool = False, interpret: bool = False):
     """x [B, T, C] -> [x +] fc2(gelu(fc1([LN](x)))) in bf16 — the
     reference-precision serving twin of fused_int8_ffn. Exact erf GELU
     (A&S poly, max err 1.5e-7 — the bf16 path keeps reference precision);
     f32 accumulation throughout; the [rows, FFN] intermediate never
     round-trips HBM (the XLA lowering materializes it: ~134 MB/layer at
-    the serving protocol)."""
+    the serving protocol). ``postnorm=True`` moves the LN to the epilogue
+    — LN(x + ffn(x)), the post-LN (HuBERT-Base family) block order."""
+    if postnorm:
+        assert ln is not None and residual, "postnorm is LN(x + ffn(x))"
     ln2 = (
         jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
         if ln is not None else None
     )
     interpret = interpret or jax.default_backend() == "cpu"
     return _ffn_bf16_call(x, w1, b1, w2, b2, ln2, residual=residual,
-                          interpret=interpret)
+                          postnorm=postnorm, interpret=interpret)

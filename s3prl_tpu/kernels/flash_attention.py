@@ -474,7 +474,8 @@ def gated_bias_attention_outproj(qkv, residual, pos_bias, gate, wo, bo,
 
 def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
                        wos_ref, bo_ref, kvlen_ref, inv_ref, o_ref, *,
-                       num_heads: int, scale: float, static_q: bool):
+                       num_heads: int, scale: float, static_q: bool,
+                       postnorm: bool = False):
     """THE WHOLE pre-LN attention block in one cell (grid = (B,)):
 
         LN -> row-quant -> int8 QKV GEMM -> per-head attention ->
@@ -503,9 +504,14 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
     ln_g = ln_ref[0, :]
     ln_b = ln_ref[1, :]
     x_in = x_ref[...].astype(jnp.float32)  # [T, C]
-    mean = jnp.mean(x_in, axis=1, keepdims=True)
-    var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
-    xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
+    if postnorm:
+        # post-LN block order (HuBERT-Base family): attention on raw x,
+        # LN applied in the epilogue after the residual add
+        xn = x_in
+    else:
+        mean = jnp.mean(x_in, axis=1, keepdims=True)
+        var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
+        xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
     if static_q:
         x8 = jnp.clip(jnp.round(xn * inv_ref[0, 0]), -127, 127).astype(jnp.int8)
         s_x = jnp.float32(1.0)  # dequant scale folded into wqs by the caller
@@ -572,19 +578,25 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         y = y * s_a.astype(jnp.float32) * wos_ref[0, :] + bo_ref[0, :] + x_in
+        if postnorm:
+            mean = jnp.mean(y, axis=1, keepdims=True)
+            var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
+            y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
         o_ref[...] = y.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "static_q", "interpret"))
+@partial(jax.jit, static_argnames=("num_heads", "static_q", "postnorm",
+                                   "interpret"))
 def _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
-                     inv_scales, num_heads, static_q=False, interpret=False):
+                     inv_scales, num_heads, static_q=False, postnorm=False,
+                     interpret=False):
     B, T, C = x.shape
     Dh = C // num_heads
     Tp = -(-T // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
     out = pl.pallas_call(
         partial(_attn_block_kernel, num_heads=num_heads, scale=Dh ** -0.5,
-                static_q=static_q),
+                static_q=static_q, postnorm=postnorm),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
         grid=(B,),
         in_specs=[
@@ -614,12 +626,15 @@ MAX_BLOCK_T = 512  # whole-T attention-block cells; beyond -> split path
 
 
 def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
-                          act_scales=None, interpret: bool = False):
+                          act_scales=None, postnorm: bool = False,
+                          interpret: bool = False):
     """residual + out_proj(MHA(qkv_proj(LN(x)))) — the full pre-LN attention
     block in one Pallas kernel (int8 W8A8 projections). `ln` =
     (scale[C], bias[C]); wq [C, 3C], wo [C, C] in checkpoint dtype.
     Sequences beyond MAX_BLOCK_T fall back to the LN -> int8 qkv -> fused
-    attention+out-proj split path.
+    attention+out-proj split path. ``postnorm=True`` flips to the post-LN
+    block order LN(x + out_proj(MHA(qkv_proj(x)))) (HuBERT-Base family);
+    static act_scales are a pre-LN-only opt-in.
 
     act_scales: optional [2] array (s_x, s_a) of per-layer STATIC activation
     scales (calibrated at qcache materialization) — replaces the dynamic
@@ -629,6 +644,7 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
     """
     from ..ops.quant import as_quantized_cols
 
+    assert not (postnorm and act_scales is not None)
     B, T, C = x.shape
     ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
     wq_q, wq_s = as_quantized_cols(wq)
@@ -643,12 +659,12 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
     return _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
                             inv_scales, num_heads,
                             static_q=act_scales is not None,
-                            interpret=interpret)
+                            postnorm=postnorm, interpret=interpret)
 
 
 def _attn_block_bf16_kernel(x_ref, wq_ref, bq_ref, ln_ref, wo_ref, bo_ref,
                             kvlen_ref, o_ref, *, num_heads: int,
-                            scale: float):
+                            scale: float, postnorm: bool = False):
     """bf16 twin of _attn_block_kernel: the whole pre-LN attention block
     (LN -> bf16 QKV GEMM -> per-head attention -> bf16 out-proj ->
     +residual) in one cell, grid = (B,). Same traffic argument as the int8
@@ -662,9 +678,12 @@ def _attn_block_bf16_kernel(x_ref, wq_ref, bq_ref, ln_ref, wo_ref, bo_ref,
     x_in = x_ref[...].astype(jnp.float32)  # [T, C]
     ln_g = ln_ref[0, :]
     ln_b = ln_ref[1, :]
-    mean = jnp.mean(x_in, axis=1, keepdims=True)
-    var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
-    xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
+    if postnorm:  # post-LN block order: LN moves to the epilogue
+        xn = x_in
+    else:
+        mean = jnp.mean(x_in, axis=1, keepdims=True)
+        var = jnp.mean((x_in - mean) ** 2, axis=1, keepdims=True)
+        xn = (x_in - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
     qkv = (
         jax.lax.dot_general(
             xn.astype(jnp.bfloat16), wq_ref[...], (((1,), (0,)), ((), ())),
@@ -696,19 +715,23 @@ def _attn_block_bf16_kernel(x_ref, wq_ref, bq_ref, ln_ref, wo_ref, bo_ref,
             preferred_element_type=jnp.float32,
         ) + bo_ref[0, :] + x_in
     )
+    if postnorm:
+        mean = jnp.mean(y, axis=1, keepdims=True)
+        var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@partial(jax.jit, static_argnames=("num_heads", "postnorm", "interpret"))
 def _attn_block_bf16_call(x, wq, bq, ln2, wo, bo, kv_lens, num_heads,
-                          interpret=False):
+                          postnorm=False, interpret=False):
     B, T, C = x.shape
     Dh = C // num_heads
     Tp = -(-T // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
     out = pl.pallas_call(
         partial(_attn_block_bf16_kernel, num_heads=num_heads,
-                scale=Dh ** -0.5),
+                scale=Dh ** -0.5, postnorm=postnorm),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
         grid=(B,),
         in_specs=[
@@ -732,17 +755,20 @@ def _attn_block_bf16_call(x, wq, bq, ln2, wo, bo, kv_lens, num_heads,
 
 
 def fused_attention_block_bf16(x, wq, bq, ln, wo, bo, kv_lens,
-                               num_heads: int, interpret: bool = False):
+                               num_heads: int, postnorm: bool = False,
+                               interpret: bool = False):
     """residual + out_proj(MHA(qkv_proj(LN(x)))) in one Pallas kernel with
     bf16 weights — the reference-precision (quantize=False) serving twin of
     fused_attention_block. `ln` = (scale[C], bias[C]); wq [C, 3C], wo [C, C]
     in checkpoint dtype (cast to bf16 here, resident in VMEM: 6+2 MB at
     C=1024). Sequences beyond MAX_BLOCK_T fall back to the caller's split
-    path (XLA LN/QKV + fused_qkv_attention + XLA out-proj)."""
+    path (XLA LN/QKV + fused_qkv_attention + XLA out-proj). ``postnorm=True``
+    flips to the post-LN block order LN(x + out_proj(MHA(qkv_proj(x))))
+    (HuBERT-Base family, fairseq layer_norm_first=False)."""
     ln2 = jnp.stack([ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)])
     interpret = interpret or jax.default_backend() == "cpu"
     return _attn_block_bf16_call(x, wq, bq, ln2, wo, bo, kv_lens, num_heads,
-                                 interpret=interpret)
+                                 postnorm=postnorm, interpret=interpret)
 
 
 def _online_kernel(q_ref, k_ref, v_ref, kvlen_ref, o_ref, m_ref, l_ref,

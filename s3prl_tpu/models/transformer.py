@@ -562,10 +562,82 @@ class EncoderLayer(nn.Module):
                 )
                 x = x + drop(ffn(ln_final(x).astype(self.dtype)))
         else:
-            ln_final = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
-                                    name="final_layer_norm")
-            x = ln_attn(x + drop(attn(x))).astype(self.dtype)
-            x = ln_final(x + drop(ffn(x))).astype(self.dtype)
+            # post-LN block order (HuBERT-Base / wav2vec2-Base family,
+            # fairseq layer_norm_first=False): x = LN1(x + attn(x));
+            # x = LN2(x + ffn(x)). Serving routes through the same
+            # whole-block kernels as the pre-LN branch with the LN moved
+            # to the kernel epilogue (postnorm=True); training and unfused
+            # configs fall back to the XLA modules below.
+            from ..kernels.flash_attention import MAX_BLOCK_T
+
+            B, T, _ = x.shape
+            block_ok = (
+                self.use_flash and attn_bias is None
+                and self.layer_norm_eps == 1e-5 and T <= MAX_BLOCK_T
+                and _attn_block_enabled()
+            )
+            bf16_serving = (
+                deterministic and not self.quantize
+                and self.dtype == jnp.bfloat16 and self.use_flash
+                and self.activation == "gelu" and self.layer_norm_eps == 1e-5
+                and _fused_block_available() and _bf16_block_enabled()
+            )
+            if (quant_serving or bf16_serving) and block_ok:
+                from ..ops.quant import NormParams
+
+                (kq, bq), (ko, bo) = _AttnProjParams(
+                    self.embed_dim, name="self_attn")()
+                g_ln, b_ln = NormParams(
+                    self.embed_dim, name="self_attn_layer_norm")()
+                kv_lens = (
+                    (~key_padding_mask).sum(-1).astype(jnp.int32)
+                    if key_padding_mask is not None
+                    else jnp.full((B,), T, jnp.int32)
+                )
+                if quant_serving:
+                    from ..kernels.flash_attention import fused_attention_block
+
+                    x = fused_attention_block(
+                        x, self._qw("qkv_q8", kq), bq, (g_ln, b_ln),
+                        self._qw("out_proj_q8", ko), bo, kv_lens,
+                        self.num_heads, postnorm=True)
+                else:
+                    from ..kernels.flash_attention import (
+                        fused_attention_block_bf16,
+                    )
+
+                    x = fused_attention_block_bf16(
+                        x, kq, bq, (g_ln, b_ln), ko, bo, kv_lens,
+                        self.num_heads, postnorm=True)
+            else:
+                x = ln_attn(x + drop(attn(x))).astype(self.dtype)
+            if (
+                (quant_serving or (bf16_serving and self.ffn_dim % 128 == 0))
+                and self.layer_norm_eps == 1e-5
+            ):
+                # FFN + residual + final_layer_norm in one kernel pass
+                # (postnorm epilogue LN); param tree unchanged
+                from ..ops.quant import LinearParams, NormParams
+
+                g, be = NormParams(self.embed_dim, name="final_layer_norm")()
+                k1, b1 = LinearParams(self.embed_dim, self.ffn_dim, name="fc1")()
+                k2, b2 = LinearParams(self.ffn_dim, self.embed_dim, name="fc2")()
+                if quant_serving:
+                    from ..kernels.ffn import fused_int8_ffn
+
+                    x = fused_int8_ffn(x, self._qw("fc1_q8", k1), b1,
+                                       self._qw("fc2_q8", k2), b2, ln=(g, be),
+                                       residual=True, postnorm=True)
+                else:
+                    from ..kernels.ffn import fused_bf16_ffn
+
+                    x = fused_bf16_ffn(x, k1, b1, k2, b2, ln=(g, be),
+                                       residual=True, postnorm=True)
+            else:
+                ln_final = nn.LayerNorm(
+                    epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                    name="final_layer_norm")
+                x = ln_final(x + drop(ffn(x))).astype(self.dtype)
         return x
 
 

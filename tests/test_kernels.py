@@ -2,6 +2,7 @@
 must match the plain-XLA reference path exactly."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -444,3 +445,141 @@ def test_gated_online_flash_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got) * valid, np.asarray(want) * valid, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("impl", ["int8", "bf16"])
+def test_postnorm_attention_block_matches_xla(impl):
+    """postnorm=True whole-block attention kernels compute the post-LN
+    block order LN(x + out_proj(MHA(qkv_proj(x)))) (HuBERT-Base family,
+    reference fairseq layer_norm_first=False:
+    wav2vec2 TransformerSentenceEncoderLayer) — vs f32 XLA reference math,
+    mixed lengths."""
+    from s3prl_tpu.kernels.flash_attention import (
+        fused_attention_block, fused_attention_block_bf16)
+    from s3prl_tpu.ops.masking import length_mask
+
+    B, T, C, H = 2, 77, 128, 4
+    Dh = C // H
+    rng = np.random.RandomState(7)
+    xf = rng.randn(B, T, C).astype(np.float32) * 0.5
+    wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.05)
+    bq = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.02)
+    wo = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.05)
+    bo = jnp.asarray(rng.randn(C).astype(np.float32) * 0.02)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    kv_lens = jnp.asarray([77, 41], jnp.int32)
+
+    if impl == "int8":
+        x = jnp.asarray(xf)
+        out = fused_attention_block(x, wq, bq, (g, be), wo, bo, kv_lens, H,
+                                    postnorm=True, interpret=True)
+    else:
+        x = jnp.asarray(xf, jnp.bfloat16)
+        out = fused_attention_block_bf16(x, wq, bq, (g, be), wo, bo,
+                                         kv_lens, H, postnorm=True,
+                                         interpret=True)
+
+    # f32 reference: QKV on RAW x -> MHA -> out-proj -> +x -> LN
+    qkv = xf @ np.asarray(wq) + np.asarray(bq)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    scores = q @ k.transpose(0, 1, 3, 2) * Dh ** -0.5
+    pad = ~np.asarray(length_mask(kv_lens, T))
+    scores = np.where(pad[:, None, None, :], -1e9, scores)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, T, C)
+    y = ctx @ np.asarray(wo) + np.asarray(bo) + xf
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    want = (y - mean) / np.sqrt(var + 1e-5) * np.asarray(g) + np.asarray(be)
+
+    got = np.asarray(out, np.float32)
+    floor = 0.999 if impl == "int8" else 0.9995
+    for i, L in enumerate([77, 41]):
+        av, bv = want[i, :L].ravel(), got[i, :L].ravel()
+        cos = (av * bv).sum() / (np.linalg.norm(av) * np.linalg.norm(bv))
+        assert cos > floor, (impl, i, cos)
+
+
+@pytest.mark.parametrize("impl", ["int8", "bf16"])
+def test_postnorm_ffn_kernel_matches_xla(impl):
+    """postnorm=True fused FFN kernels compute LN(x + fc2(gelu(fc1(x))))
+    — the post-LN FFN half — vs f32 XLA reference math."""
+    import jax.nn
+
+    from s3prl_tpu.kernels.ffn import fused_bf16_ffn, fused_int8_ffn
+
+    B, T, C, F = 2, 50, 128, 512
+    rng = np.random.RandomState(8)
+    xf = rng.randn(B, T, C).astype(np.float32) * 0.5
+    w1 = jnp.asarray(rng.randn(C, F).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.02)
+    w2 = jnp.asarray(rng.randn(F, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.02)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+
+    if impl == "int8":
+        out = fused_int8_ffn(jnp.asarray(xf), w1, b1, w2, b2, ln=(g, be),
+                             residual=True, postnorm=True, interpret=True)
+        h = np.asarray(jax.nn.gelu(xf @ np.asarray(w1) + np.asarray(b1),
+                                   approximate=True))
+    else:
+        out = fused_bf16_ffn(jnp.asarray(xf, jnp.bfloat16), w1, b1, w2, b2,
+                             ln=(g, be), residual=True, postnorm=True,
+                             interpret=True)
+        h = np.asarray(jax.nn.gelu(xf @ np.asarray(w1) + np.asarray(b1),
+                                   approximate=False))
+    y = h @ np.asarray(w2) + np.asarray(b2) + xf
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    want = (y - mean) / np.sqrt(var + 1e-5) * np.asarray(g) + np.asarray(be)
+
+    got = np.asarray(out, np.float32)
+    av, bv = want.ravel(), got.ravel()
+    cos = (av * bv).sum() / (np.linalg.norm(av) * np.linalg.norm(bv))
+    assert cos > (0.999 if impl == "int8" else 0.9995), (impl, cos)
+
+
+@pytest.mark.parametrize("impl", ["int8", "bf16"])
+def test_postln_serving_block_routing_matches_float(impl, monkeypatch):
+    """Model-level: the post-LN (layer_norm_first=False, HuBERT-Base
+    family) serving branch routes through the postnorm whole-block kernels
+    and must match the float module path through a real trunk forward
+    (reference block order: fairseq layer_norm_first=False in
+    wav2vec2/transformer_sentence_encoder_layer)."""
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        layer_norm_first=False, dropout=0.0, attention_dropout=0.0,
+        dropout_input=0.0,
+    )
+    wavs = jnp.asarray(np.random.RandomState(9).randn(2, 6000).astype(np.float32))
+    lens = jnp.asarray([6000, 4000])
+    float_trunk = Wav2Vec2Trunk(cfg, quantize=False, use_flash=False)
+    params = jax.jit(
+        lambda key: float_trunk.init(key, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+    hs_ref, _ = float_trunk.apply({"params": params}, wavs, lens,
+                                  deterministic=True)
+
+    if impl == "int8":
+        trunk = Wav2Vec2Trunk(cfg, quantize=True, use_flash=True)
+    else:
+        trunk = Wav2Vec2Trunk(cfg, quantize=False, use_flash=True,
+                              dtype=jnp.bfloat16)
+    hs, _ = trunk.apply({"params": params}, wavs, lens, deterministic=True)
+
+    a = np.asarray(hs_ref[-1], np.float32).ravel()
+    b = np.asarray(hs[-1], np.float32).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > (0.99 if impl == "int8" else 0.995), (impl, cos)

@@ -546,3 +546,43 @@ def test_wavlm_long_audio_online_path_matches_whole_t(monkeypatch):
     assert hs_online.shape == hs_whole.shape
     for l in range(hs_whole.shape[0]):
         assert _cos(hs_online[l], hs_whole[l]) > 0.9999, f"layer {l}"
+
+
+def test_hubert_base_postln_serving_quality(monkeypatch):
+    """int8 quality at serving scale for the POST-LN family (round 5): the
+    real HuBERT-Base config (12L, d=768, fairseq layer_norm_first=False)
+    through the real serving path — postnorm whole-block kernels
+    (LN in the kernel epilogue) + qcache — vs the float module path.
+    Post-LN quantizes the RAW residual stream (no LN to tame outliers
+    before the QKV/fc1 GEMMs), so full-depth error compounding needs its
+    own gate; reference block order:
+    s3prl/upstream/wav2vec2/wav2vec2_model.py TransformerSentenceEncoderLayer
+    (layer_norm_first=False)."""
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu import hub
+
+    up_f = hub.load("hubert_base")
+
+    rng = np.random.RandomState(13)
+    wavs = rng.randn(2, 8000).astype(np.float32)
+    lens = np.asarray([8000, 6400], np.int32)
+    hs_f, _ = jax.jit(up_f.apply_standardized)(up_f.params, wavs, lens)
+    assert hs_f.shape[0] == 13 and hs_f.shape[-1] == 768
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    up_s = hub.load("hubert_base", quantize=True)
+    assert "qcache" in up_s.params
+    hs_s, _ = jax.jit(up_s.apply_standardized)(up_s.params, wavs, lens)
+    worst = 1.0
+    for l in range(hs_f.shape[0]):
+        c = _cos(hs_s[l], hs_f[l])
+        worst = min(worst, c)
+        assert c > 0.999, f"serving path layer {l}: cos={c:.5f}"
+    print(f"hubert-base 12L post-LN serving vs float: worst cos={worst:.5f}")
+
+    # bf16 whole-block postnorm path (reference precision) rides the same
+    # gate: routing must not change the numbers beyond bf16 rounding
+    up_b = hub.load("hubert_base", dtype=jnp.bfloat16, flash=True)
+    hs_b, _ = jax.jit(up_b.apply_standardized)(up_b.params, wavs, lens)
+    for l in range(hs_f.shape[0]):
+        assert _cos(hs_b[l], hs_f[l]) > 0.995, f"bf16 layer {l}"
