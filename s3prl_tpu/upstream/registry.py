@@ -1105,18 +1105,45 @@ def mos_tera(**kwargs) -> Upstream:
     )
 
 
-def _external_stub(name: str, package: str):
-    @register(name)
-    def stub(**kwargs):
+@register("pase_plus")
+def pase_plus(ckpt=None, seed=0, dtype=jnp.float32, **kwargs) -> Upstream:
+    """PASE+ encoder, implemented natively (models/pase.py) — the reference
+    only wraps the EXTERNAL ``pase`` package (s3prl/upstream/pase/expert.py:
+    14-47; not vendored, requirements unmet). Hidden-state layout matches
+    the reference wrapper's hook contract (pase/hubconf.py:82-91): 7
+    dense-skip projections + the W projection + the final output, 256-d at
+    a 160-sample hop. Checkpoint conversion from the published Dropbox
+    artifact is egress-gated; without a ckpt the model is random-init (the
+    same behavior every native family here has)."""
+    from ..models.pase import PaseConfig, PaseModel
+
+    cfg = PaseConfig()
+    model = PaseModel(cfg, dtype=dtype)
+    if ckpt is not None:
         raise NotImplementedError(
-            f"'{name}' wraps the external '{package}' package in the reference "
-            f"(a thin import wrapper, no in-tree model); a native port is not "
-            f"scheduled — use the corresponding native family instead."
+            "pase_plus checkpoint conversion requires the external pase "
+            "package's artifact layout (egress-gated); random-init serving "
+            "and training are fully supported."
         )
-    return stub
+    logger.info("pase_plus: no ckpt given — random initialization")
+    wavs = jnp.zeros((1, 16000), jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init(k, wavs, jnp.asarray([16000]),
+                             deterministic=True)
+    )(jax.random.key(seed))
 
+    def apply_fn(variables, wavs, wav_lens, train=False, rngs=None):
+        if train:
+            out, _ = model.apply(variables, wavs, wav_lens,
+                                 deterministic=False, rngs=rngs,
+                                 mutable=["batch_stats"])
+            return out
+        return model.apply(variables, wavs, wav_lens, deterministic=True)
 
-_external_stub("pase_plus", "pase")
+    return Upstream(
+        name="pase_plus", apply_fn=apply_fn, params=variables,
+        num_layers=9, hidden_size=cfg.emb_dim, downsample_rate=160,
+    )
 
 
 def _espnet_hubert_upstream(name, ckpt=None, model_config=None, seed=0,

@@ -27,8 +27,9 @@ from s3prl_tpu import hub
 ARG_REQUIRED_SUFFIXES = ("_local", "_url", "_custom", "_gdriveid")
 
 #: entries that wrap an external package in the reference too and are
-#: registered here as informative stubs (registry.py `_external_stub`)
-EXTERNAL_STUBS = {"pase_plus"}
+#: registered here as informative stubs (none left as of round 5:
+#: pase_plus is native, models/pase.py)
+EXTERNAL_STUBS = set()
 
 #: entries whose factory needs an explicit source even without a suffix
 NEEDS_SOURCE = {"customized_upstream"}
@@ -74,7 +75,8 @@ def test_every_zero_arg_hub_entry_constructs_and_forwards():
     assert len(forwarded) < len(_zero_arg_names())
 
 
-def test_external_stub_raises_informatively():
-    for name in EXTERNAL_STUBS:
-        with pytest.raises(Exception, match="pase|external"):
-            hub.load(name)
+def test_pase_plus_ckpt_conversion_gated():
+    """pase_plus is native (models/pase.py); only its checkpoint conversion
+    remains egress-gated and must say so rather than load garbage."""
+    with pytest.raises(NotImplementedError, match="egress|pase"):
+        hub.load("pase_plus", ckpt="/tmp/nonexistent.ckpt")

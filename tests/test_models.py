@@ -151,3 +151,55 @@ def test_fused_weighted_sum_matches_materialized():
         v, jnp.asarray(wavs), jnp.asarray(lens), deterministic=True, layer_weights=w
     )
     np.testing.assert_allclose(np.asarray(fused)[0], want, atol=2e-5)
+
+
+def test_pase_plus_contract():
+    """Native PASE+ (models/pase.py): hidden-state layout matches the
+    reference wrapper's hook contract (s3prl/upstream/pase/hubconf.py:82-91
+    — 7 dense-skip projections + W + final = 9 states, 256-d, hop 160) and
+    the standard length rule ceil(len/160)."""
+    from s3prl_tpu import hub
+
+    up = hub.load("pase_plus")
+    assert up.num_layers == 9 and up.hidden_size == 256
+    assert up.downsample_rate == 160
+
+    rng = np.random.RandomState(4)
+    wavs = rng.randn(2, 16000).astype(np.float32)
+    lens = np.array([16000, 8000], np.int32)
+    hs, h_lens = up.apply_standardized(up.params, wavs, lens)
+    assert hs.shape[0] == 9 and hs.shape[-1] == 256
+    np.testing.assert_array_equal(
+        np.asarray(h_lens), (lens + 159) // 160)
+    assert np.isfinite(np.asarray(hs)).all()
+    # final state = W + sum(aligned skips) (pase frontend densemerge=sum)
+    want_final = np.asarray(hs[:8]).sum(0)
+    np.testing.assert_allclose(np.asarray(hs[8]), want_final, atol=1e-4)
+
+
+def test_pase_qrnn_scan_matches_sequential():
+    """The QRNN's associative-scan fo-pooling equals the sequential
+    recurrence c_t = f_t*c_{t-1} + (1-f_t)*z_t."""
+    from s3prl_tpu.models.pase import QRNN
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 17, 8).astype(np.float32))
+    qrnn = QRNN(hidden=6, window=2)
+    v = qrnn.init(jax.random.key(0), x)
+    got = qrnn.apply(v, x)
+
+    # sequential reference with the same gate conv
+    import flax.linen as nn
+
+    xp = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))
+    gates = nn.Conv(18, (2,), padding="VALID", name="gates").apply(
+        {"params": v["params"]["gates"]}, xp)
+    z, f, o = np.split(np.asarray(gates), 3, axis=-1)
+    z, f, o = np.tanh(z), 1 / (1 + np.exp(-f)), 1 / (1 + np.exp(-o))
+    c = np.zeros_like(z[:, 0])
+    want = []
+    for t in range(x.shape[1]):
+        c = f[:, t] * c + (1 - f[:, t]) * z[:, t]
+        want.append(o[:, t] * c)
+    np.testing.assert_allclose(np.asarray(got), np.stack(want, 1),
+                               rtol=1e-4, atol=1e-5)
