@@ -136,6 +136,14 @@ def main():
         and os.environ.get("BENCH_WAVLM", "1") == "1"
         else None
     )
+    # post-LN family ride-along (round 5): HuBERT-Base through the postnorm
+    # whole-block kernels, identical protocol. BENCH_BASE=0 skips it.
+    base_value = (
+        measure("hubert_base", quant, mode, flash, batch_size, secs, iters)
+        if model_name == "hubert_large_ll60k"
+        and os.environ.get("BENCH_BASE", "1") == "1"
+        else None
+    )
     payload = {
         "metric": (
             "hubert_large_extraction_throughput"
@@ -147,6 +155,7 @@ def main():
         "vs_baseline": round(audio_sec_per_sec / TARGET, 4),
         "bf16_value": round(bf16_value, 1),
         **({"wavlm_value": round(wavlm_value, 1)} if wavlm_value else {}),
+        **({"hubert_base_value": round(base_value, 1)} if base_value else {}),
         "precision": "int8_w8a8" if quant else "bf16",
         "quality": (
             "24L/1024 per-layer cos >0.999 vs float + downstream-neutral probe "
