@@ -158,8 +158,10 @@ def main():
         **({"hubert_base_value": round(base_value, 1)} if base_value else {}),
         "precision": "int8_w8a8" if quant else "bf16",
         "quality": (
-            "24L/1024 per-layer cos >0.999 vs float + downstream-neutral probe "
-            "(tests/test_quant.py::test_hubert_large_quantized_hidden_state_quality, "
+            "per-layer cos >0.999 vs float at full depth (24L/1024 pre-LN + "
+            "12L/768 post-LN) + downstream-neutral probe (tests/test_quant.py::"
+            "test_hubert_large_quantized_hidden_state_quality, "
+            "::test_hubert_base_postln_serving_quality, "
             "::test_int8_features_downstream_neutral)"
             if quant else "reference precision"
         ),
