@@ -609,6 +609,33 @@ class EncoderLayer(nn.Module):
                     x = fused_attention_block_bf16(
                         x, kq, bq, (g_ln, b_ln), ko, bo, kv_lens,
                         self.num_heads, postnorm=True)
+            elif (
+                quant_serving and self.use_flash and attn_bias is None
+                and _attn_block_enabled()
+            ):
+                # long-T (> MAX_BLOCK_T) post-LN split: int8 QKV on RAW x +
+                # fused attention+out-proj+residual kernel, then the LN as
+                # the XLA epilogue — the post-LN twin of the pre-LN split
+                # path (the raw attention output never round-trips HBM)
+                from ..kernels.flash_attention import (
+                    fused_qkv_attention_outproj,
+                )
+                from ..ops.quant import int8_matmul
+
+                (kq, bq), (ko, bo) = _AttnProjParams(
+                    self.embed_dim, name="self_attn")()
+                qkv = int8_matmul(x.astype(self.dtype),
+                                  self._qw("qkv_q8", kq), bq,
+                                  out_dtype=self.dtype)
+                kv_lens = (
+                    (~key_padding_mask).sum(-1).astype(jnp.int32)
+                    if key_padding_mask is not None
+                    else jnp.full((B,), T, jnp.int32)
+                )
+                y = fused_qkv_attention_outproj(
+                    qkv, x, self._qw("out_proj_q8", ko), bo, kv_lens,
+                    self.num_heads)
+                x = ln_attn(y).astype(self.dtype)
             else:
                 x = ln_attn(x + drop(attn(x))).astype(self.dtype)
             if (

@@ -586,3 +586,39 @@ def test_hubert_base_postln_serving_quality(monkeypatch):
     hs_b, _ = jax.jit(up_b.apply_standardized)(up_b.params, wavs, lens)
     for l in range(hs_f.shape[0]):
         assert _cos(hs_b[l], hs_f[l]) > 0.995, f"bf16 layer {l}"
+
+
+def test_postln_long_t_split_path_matches_float(monkeypatch):
+    """Post-LN int8 serving beyond MAX_BLOCK_T routes through the split
+    path (int8 QKV on raw x + fused attention/out-proj/residual + XLA LN
+    epilogue) — parity vs the float module path. MAX_BLOCK_T is patched
+    down so the long-T branch fires at test shapes."""
+    import s3prl_tpu.kernels.flash_attention as fa
+    import s3prl_tpu.models.transformer as tr
+    from s3prl_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Trunk
+
+    monkeypatch.setattr(tr, "_fused_block_available", lambda: True)
+    monkeypatch.setattr(fa, "MAX_BLOCK_T", 8)  # force the long-T branch
+    cfg = Wav2Vec2Config(
+        conv_feature_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        layer_norm_first=False, dropout=0.0, attention_dropout=0.0,
+        dropout_input=0.0,
+    )
+    wavs = jnp.asarray(np.random.RandomState(17).randn(2, 6000).astype(np.float32))
+    lens = jnp.asarray([6000, 4000])
+    float_trunk = Wav2Vec2Trunk(cfg, quantize=False, use_flash=False)
+    params = jax.jit(
+        lambda key: float_trunk.init(key, wavs, lens, deterministic=True)
+    )(jax.random.key(0))["params"]
+    hs_ref, _ = float_trunk.apply({"params": params}, wavs, lens,
+                                  deterministic=True)
+
+    qtrunk = Wav2Vec2Trunk(cfg, quantize=True, use_flash=True)
+    hs_q, _ = qtrunk.apply({"params": params}, wavs, lens,
+                           deterministic=True)
+    a = np.asarray(hs_ref[-1], np.float32).ravel()
+    b = np.asarray(hs_q[-1], np.float32).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99, cos
