@@ -46,7 +46,18 @@ from .conv_frontend import _gelu, _quant_rows8 as _quant_rows
 
 BQ = int(__import__("os").environ.get("S3PRL_BQF", "512"))  # rows per grid cell (FFN kernel; 512 measured ~3% over 256 at the serving protocol)
 BQL = int(__import__("os").environ.get("S3PRL_BQL", "512"))  # rows per cell, linear kernel
-CHUNK = int(__import__("os").environ.get("S3PRL_FCHUNK", "2048"))  # FFN columns per in-kernel chunk (2048 measured best: 3,288 vs 3,260/3,208 at 1024/512)
+_CHUNK_ENV = __import__("os").environ.get("S3PRL_FCHUNK")
+CHUNK = int(_CHUNK_ENV) if _CHUNK_ENV else 2048  # FFN columns per in-kernel chunk at large FFN (2048 measured best on HuBERT-Large: 3,288 vs 3,260/3,208 at 1024/512)
+
+
+def _chunk_for(ffn: int) -> int:
+    """Effective chunk width: a SINGLE chunk when the whole FFN dim fits
+    the VMEM budget (measured +1.4% on HuBERT-Base, FFN=3072: 9,635 vs
+    9,504 audio-sec/s — the accumulator loop and its per-chunk requant
+    epilogue vanish); the env override wins when set."""
+    if _CHUNK_ENV:
+        return CHUNK
+    return ffn if ffn <= 3072 else CHUNK
 
 
 def _layernorm(x, scale, bias, eps=1e-5):
@@ -58,10 +69,11 @@ def _layernorm(x, scale, bias, eps=1e-5):
 def _ffn_chunk_bounds(ffn: int):
     """Chunk boundaries covering ALL of the FFN dim (the last chunk may be
     shorter); every boundary stays lane-aligned for ffn % 128 == 0."""
+    chunk = _chunk_for(ffn)
     bounds = []
     start = 0
     while start < ffn:
-        end = min(start + CHUNK, ffn)
+        end = min(start + chunk, ffn)
         bounds.append((start, end))
         start = end
     return tuple(bounds)

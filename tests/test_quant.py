@@ -241,7 +241,9 @@ def test_fused_int8_ffn_nondivisible_chunks():
 
     rng = np.random.RandomState(9)
     B, T, C = 1, 5, 128
-    F = CHUNK + 128  # one full chunk + a partial one
+    # > 3072 so the adaptive single-chunk fast path does not apply and the
+    # kernel really iterates: one full chunk + a partial one
+    F = max(CHUNK, 3072) + 128
     x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5)
     w1 = jnp.asarray(rng.randn(C, F).astype(np.float32) * 0.05)
     b1 = jnp.zeros((F,))
