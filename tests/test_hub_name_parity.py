@@ -68,3 +68,20 @@ def test_options_only_registered_ckpt_filter():
     suffixes = ("_local", "_url", "_gdriveid", "_custom")
     assert any(n.endswith(suffixes) for n in full)
     assert not any(n.endswith(suffixes) for n in pinned)
+
+
+def test_hub_attribute_surface():
+    """The reference's primary hub API is `getattr(hub, name)(**kwargs)`
+    (s3prl/hub.py:40-54); the facade's module __getattr__ mirrors it."""
+    from s3prl_tpu import hub
+
+    up = hub.fbank()
+    hs, lens = up.apply_standardized(
+        up.params,
+        __import__("numpy").zeros((1, 16000), "float32"),
+        __import__("numpy").array([16000], "int32"),
+    )
+    assert hs.ndim == 4
+    assert "hubert" in dir(hub) and "load" in dir(hub)
+    with pytest.raises(AttributeError):
+        hub.not_a_model
