@@ -20,6 +20,7 @@ product never materializes anywhere); this is the long-audio serving path
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -475,7 +476,7 @@ def gated_bias_attention_outproj(qkv, residual, pos_bias, gate, wo, bo,
 def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
                        wos_ref, bo_ref, kvlen_ref, inv_ref, o_ref, *,
                        num_heads: int, scale: float, static_q: bool,
-                       postnorm: bool = False):
+                       postnorm: bool = False, int8_av: bool = False):
     """THE WHOLE pre-LN attention block in one cell (grid = (B,)):
 
         LN -> row-quant -> int8 QKV GEMM -> per-head attention ->
@@ -534,21 +535,46 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
     kv_len = kvlen_ref[pl.program_id(0), 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
+    if int8_av:
+        # int8 PV matmul (S3PRL_INT8_AV=1, measured LOSER kept opt-in): the
+        # probability matrix quantizes for FREE — softmax guarantees row
+        # max(p)=1, so p8 = round(p*127) needs no abs-max pass and the row
+        # dequant scale is just recip/127. V quantizes per-column ONCE per
+        # cell. The PV contraction is T (MXU-deep, unlike the K=Dh=64 QK
+        # side) — the one SDPA matmul where the int8 rate is reachable —
+        # but the on-chip interleaved A/B at the serving protocol reads
+        # −1.1 to −1.4% end to end (4,868–4,882 off vs 4,811–4,814 on):
+        # the V-quant + p-round + two-scale dequant VPU passes cost more
+        # than the halved MXU time at N=64. Numerics vs the default int8
+        # path: cosine 0.999997 (interpret-mode check in tests).
+        vblk = qkv[:, 2 * C :].astype(jnp.float32)  # [T, C]
+        s_v = jnp.maximum(
+            jnp.max(jnp.abs(vblk), axis=0, keepdims=True), 1e-8) / 127.0
+        v8 = jnp.clip(jnp.round(vblk / s_v), -127, 127).astype(jnp.int8)
     heads = []
     for h in range(num_heads):
         q = qkv[:, h * Dh : (h + 1) * Dh]
         k = qkv[:, C + h * Dh : C + (h + 1) * Dh]
-        v = qkv[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + penalty
         m = jnp.max(scores, axis=1, keepdims=True)
         p = _exp_fast(scores - m)
         recip = 1.0 / jnp.sum(p, axis=1, keepdims=True)
-        heads.append(jax.lax.dot_general(
-            (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16))
+        if int8_av:
+            p8 = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1]: no clip
+            out = jax.lax.dot_general(
+                p8, v8[:, h * Dh : (h + 1) * Dh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (recip * (1.0 / 127.0)) \
+                * s_v[:, h * Dh : (h + 1) * Dh]
+            heads.append(out.astype(jnp.bfloat16))
+        else:
+            v = qkv[:, 2 * C + h * Dh : 2 * C + (h + 1) * Dh]
+            heads.append(jax.lax.dot_general(
+                (p * recip).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16))
     attn = jnp.concatenate(heads, axis=1)  # [T, C] bf16
     if static_q:
         # Mosaic has no bf16 roundeven; the round itself upcasts
@@ -586,17 +612,17 @@ def _attn_block_kernel(x_ref, wq_ref, bq_ref, wqs_ref, ln_ref, wo_ref,
 
 
 @partial(jax.jit, static_argnames=("num_heads", "static_q", "postnorm",
-                                   "interpret"))
+                                   "int8_av", "interpret"))
 def _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
                      inv_scales, num_heads, static_q=False, postnorm=False,
-                     interpret=False):
+                     int8_av=False, interpret=False):
     B, T, C = x.shape
     Dh = C // num_heads
     Tp = -(-T // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
     out = pl.pallas_call(
         partial(_attn_block_kernel, num_heads=num_heads, scale=Dh ** -0.5,
-                static_q=static_q, postnorm=postnorm),
+                static_q=static_q, postnorm=postnorm, int8_av=int8_av),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), x.dtype),
         grid=(B,),
         in_specs=[
@@ -656,10 +682,14 @@ def fused_attention_block(x, wq, bq, ln, wo, bo, kv_lens, num_heads: int,
     else:
         inv_scales = jnp.ones((2,), jnp.float32)
     interpret = interpret or jax.default_backend() == "cpu"
+    # S3PRL_INT8_AV=1: int8 PV matmul inside the SDPA (see the kernel
+    # comment) — opt-in pending the on-chip A/B + quality gate
+    int8_av = os.environ.get("S3PRL_INT8_AV", "0") == "1"
     return _attn_block_call(x, wq_q, wq_s, bq, ln2, wo_q, wo_s, bo, kv_lens,
                             inv_scales, num_heads,
                             static_q=act_scales is not None,
-                            postnorm=postnorm, interpret=interpret)
+                            postnorm=postnorm, int8_av=int8_av,
+                            interpret=interpret)
 
 
 def _attn_block_bf16_kernel(x_ref, wq_ref, bq_ref, ln_ref, wo_ref, bo_ref,
