@@ -57,10 +57,16 @@ def _bq_env(default: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
-    """Grid cell (b, h, iq): one query block against all keys.
+    """Grid cell (h, iq, b): one query block against all keys.
 
     q_ref: [BQ, Dh]; k_ref/v_ref: [T, Dh]; bias_ref: [T_pos rows = BQ, T]
     (pre-sliced by the index map); gate_ref: [BQ, 1]; kvlen_ref: [1, 1] SMEM.
+
+    The batch dimension is INNERMOST on purpose: the pos_bias block index
+    (h, iq) is then constant across the B consecutive inner steps, so the
+    Pallas pipeline fetches each [BQ, T] f32 bias block once per (h, iq)
+    instead of once per (b, h, iq) — at serving shapes (B=32, T=499) that
+    is ~0.5 GB/layer of redundant HBM bias traffic removed.
     """
     q = q_ref[:].astype(jnp.float32)  # [BQ, Dh]
     k = k_ref[:].astype(jnp.float32)  # [T, Dh]
@@ -71,7 +77,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, kvlen_ref, o_ref):
     scores = scores + gate * bias_ref[:].astype(jnp.float32)
     T = scores.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], T), 1)
-    kv_len = kvlen_ref[pl.program_id(0), 0]
+    kv_len = kvlen_ref[pl.program_id(2), 0]
     scores = jnp.where(col < kv_len, scores, -1e9)
     m = jnp.max(scores, axis=1, keepdims=True)
     p = _exp_fast(scores - m)
@@ -95,28 +101,28 @@ def _gated_bias_attention_kernel(q, k, v, pos_bias, gate, kv_lens, interpret=Fal
     else:
         qp, biasp, gatep = q, pos_bias, gate
 
-    grid = (B, H, Tp // BQ)
+    grid = (H, Tp // BQ, B)  # batch innermost: bias block reused across B
     out = pl.pallas_call(
         _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((None, None, BQ, Dh), lambda h, i, b: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((None, None, T, Dh), lambda h, i, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, T, Dh), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((None, None, T, Dh), lambda h, i, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BQ, T), lambda b, h, i: (h, i, 0),
+            pl.BlockSpec((None, BQ, T), lambda h, i, b: (h, i, 0),
                          memory_space=pltpu.VMEM),
             # gate rides as [B, H, T, 1]: a squeezed rank-1 block fails the
             # Mosaic (8, 128)-tile check; the trailing singleton keeps the
             # block 2-D with a dimension equal to the array's
-            pl.BlockSpec((None, None, BQ, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((None, None, BQ, 1), lambda h, i, b: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B,1], whole array
         ],
-        out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda b, h, i: (b, h, i, 0),
+        out_specs=pl.BlockSpec((None, None, BQ, Dh), lambda h, i, b: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
@@ -357,12 +363,16 @@ def _gated_outproj_kernel(q_ref, k_ref, v_ref, r_ref, bias_ref, gate_ref,
     """WavLM twin of _fused_qkv_outproj_kernel: per-head attention with the
     gated rel-pos bias (scores = qk^T*scale + gate[h]*bias[h]), then the
     int8 W8A8 out-projection + residual in the same cell. The [H, BQ, T]
-    gated-bias product and the raw attention output never exist in HBM."""
+    gated-bias product and the raw attention output never exist in HBM.
+
+    Grid (iq, b) — batch innermost so the [H, BQ, T] f32 bias block (an
+    index function of iq only) is fetched once per query block instead of
+    once per (b, iq)."""
     BQ = q_ref.shape[0]
     T = k_ref.shape[0]
     C = o_ref.shape[1]
     Dh = C // num_heads
-    kv_len = kvlen_ref[pl.program_id(0), 0]
+    kv_len = kvlen_ref[pl.program_id(1), 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
     penalty = jnp.where(col < kv_len, 0.0, -1e9).astype(jnp.float32)
     heads = []
@@ -413,26 +423,26 @@ def _gated_outproj_call(qkv, residual, pos_bias, gate, wo_q, wo_s, bo,
     out = pl.pallas_call(
         partial(_gated_outproj_kernel, num_heads=H, scale=Dh ** -0.5),
         out_shape=jax.ShapeDtypeStruct((B, Tp, C), qkv.dtype),
-        grid=(B, Tp // BQ),
+        grid=(Tp // BQ, B),  # batch innermost: bias block reused across B
         in_specs=[
-            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+            pl.BlockSpec((None, BQ, C), lambda iq, b: (b, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 1),
+            pl.BlockSpec((None, Tp, C), lambda iq, b: (b, 0, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Tp, C), lambda b, iq: (b, 0, 2),
+            pl.BlockSpec((None, Tp, C), lambda iq, b: (b, 0, 2),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+            pl.BlockSpec((None, BQ, C), lambda iq, b: (b, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, BQ, Tp), lambda b, iq: (0, iq, 0),
+            pl.BlockSpec((H, BQ, Tp), lambda iq, b: (0, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, H, BQ, 1), lambda b, iq: (b, 0, iq, 0),
+            pl.BlockSpec((None, H, BQ, 1), lambda iq, b: (b, 0, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, iq: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda iq, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda iq, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda iq, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens [B, 1]
         ],
-        out_specs=pl.BlockSpec((None, BQ, C), lambda b, iq: (b, iq, 0),
+        out_specs=pl.BlockSpec((None, BQ, C), lambda iq, b: (b, iq, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qkvp, qkvp, qkvp, resp, biasp.astype(jnp.float32), gatep[..., None],
